@@ -1,0 +1,117 @@
+"""Build a tiny but structurally valid HF SD snapshot directory for tests.
+
+Layout matches what ``uce_tpu.edit.sd.load_resources`` / diffusers expect:
+  text_encoder/{config.json, model.safetensors}
+  tokenizer/{vocab.json, merges.txt, special_tokens_map.json, tokenizer_config.json}
+  unet/{config.json, diffusion_pytorch_model.safetensors}
+
+The tokenizer is a real ``transformers.CLIPTokenizer`` with a character
+vocabulary, so the BPE code paths (bos/eos, padding, truncation,
+attention_mask) behave exactly like the full 49k-token one.
+"""
+
+import json
+import os
+import string
+
+import numpy as np
+from safetensors.numpy import save_file
+
+
+def _build_vocab():
+    chars = list(string.ascii_lowercase + string.digits + "'-")
+    vocab = {}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+    for ch in chars:
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    return vocab
+
+
+def make_sd_snapshot(root, hidden=32, layers=2, heads=4, inter=64, max_pos=16,
+                     seed=0):
+    root = str(root)
+    vocab = _build_vocab()
+    vocab_size = len(vocab)
+    eos_id = vocab["<|endoftext|>"]
+    bos_id = vocab["<|startoftext|>"]
+
+    # tokenizer/
+    tok_dir = os.path.join(root, "tokenizer")
+    os.makedirs(tok_dir, exist_ok=True)
+    with open(os.path.join(tok_dir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(tok_dir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    with open(os.path.join(tok_dir, "special_tokens_map.json"), "w") as f:
+        json.dump({
+            "bos_token": "<|startoftext|>",
+            "eos_token": "<|endoftext|>",
+            "pad_token": "<|endoftext|>",
+            "unk_token": "<|endoftext|>",
+        }, f)
+    with open(os.path.join(tok_dir, "tokenizer_config.json"), "w") as f:
+        json.dump({
+            "tokenizer_class": "CLIPTokenizer",
+            "model_max_length": max_pos,
+        }, f)
+
+    # text_encoder/ — random weights in HF CLIPTextModel naming
+    te_dir = os.path.join(root, "text_encoder")
+    os.makedirs(te_dir, exist_ok=True)
+    cfg = {
+        "architectures": ["CLIPTextModel"],
+        "vocab_size": vocab_size,
+        "hidden_size": hidden,
+        "num_hidden_layers": layers,
+        "num_attention_heads": heads,
+        "intermediate_size": inter,
+        "max_position_embeddings": max_pos,
+        "hidden_act": "quick_gelu",
+        "layer_norm_eps": 1e-5,
+        "bos_token_id": bos_id,
+        "eos_token_id": eos_id,
+        "projection_dim": hidden,
+    }
+    with open(os.path.join(te_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    rng = np.random.default_rng(seed)
+    n = lambda *s: (rng.standard_normal(s) * 0.02).astype(np.float32)
+    sd = {
+        "text_model.embeddings.token_embedding.weight": n(vocab_size, hidden),
+        "text_model.embeddings.position_embedding.weight": n(max_pos, hidden),
+        "text_model.final_layer_norm.weight": np.ones(hidden, np.float32),
+        "text_model.final_layer_norm.bias": np.zeros(hidden, np.float32),
+    }
+    for i in range(layers):
+        pre = f"text_model.encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[pre + ln + ".weight"] = np.ones(hidden, np.float32)
+            sd[pre + ln + ".bias"] = np.zeros(hidden, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[pre + f"self_attn.{proj}.weight"] = n(hidden, hidden)
+            sd[pre + f"self_attn.{proj}.bias"] = np.zeros(hidden, np.float32)
+        sd[pre + "mlp.fc1.weight"] = n(inter, hidden)
+        sd[pre + "mlp.fc1.bias"] = np.zeros(inter, np.float32)
+        sd[pre + "mlp.fc2.weight"] = n(hidden, inter)
+        sd[pre + "mlp.fc2.bias"] = np.zeros(hidden, np.float32)
+    save_file(sd, os.path.join(te_dir, "model.safetensors"))
+
+    # unet/ — only the keys the editor reads, plus decoys
+    unet_dir = os.path.join(root, "unet")
+    os.makedirs(unet_dir, exist_ok=True)
+    with open(os.path.join(unet_dir, "config.json"), "w") as f:
+        json.dump({"_class_name": "UNet2DConditionModel",
+                   "cross_attention_dim": hidden}, f)
+    unet_sd = {}
+    for block, odim in [("down_blocks.0.attentions.0", 24),
+                        ("mid_block.attentions.0", 48),
+                        ("up_blocks.1.attentions.2", 24)]:
+        base = f"{block}.transformer_blocks.0.attn2."
+        for proj in ("to_q", "to_k", "to_v"):
+            unet_sd[base + proj + ".weight"] = n(odim, hidden)
+        unet_sd[f"{block}.transformer_blocks.0.attn1.to_k.weight"] = n(odim, odim)
+    save_file(unet_sd, os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"))
+    return root
