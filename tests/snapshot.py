@@ -99,19 +99,54 @@ def make_sd_snapshot(root, hidden=32, layers=2, heads=4, inter=64, max_pos=16,
         sd[pre + "mlp.fc2.bias"] = np.zeros(hidden, np.float32)
     save_file(sd, os.path.join(te_dir, "model.safetensors"))
 
-    # unet/ — only the keys the editor reads, plus decoys
+    # unet/ — a full tiny UNet2DConditionModel
+    from uce_tpu.models import unet as unet_mod, vae as vae_mod
+
+    unet_cfg_hf = {
+        "_class_name": "UNet2DConditionModel",
+        "in_channels": 4,
+        "out_channels": 4,
+        "block_out_channels": [8, 16],
+        "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+        "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D"],
+        "layers_per_block": 1,
+        "cross_attention_dim": hidden,
+        "attention_head_dim": 2,
+        "norm_num_groups": 4,
+    }
     unet_dir = os.path.join(root, "unet")
     os.makedirs(unet_dir, exist_ok=True)
     with open(os.path.join(unet_dir, "config.json"), "w") as f:
-        json.dump({"_class_name": "UNet2DConditionModel",
-                   "cross_attention_dim": hidden}, f)
-    unet_sd = {}
-    for block, odim in [("down_blocks.0.attentions.0", 24),
-                        ("mid_block.attentions.0", 48),
-                        ("up_blocks.1.attentions.2", 24)]:
-        base = f"{block}.transformer_blocks.0.attn2."
-        for proj in ("to_q", "to_k", "to_v"):
-            unet_sd[base + proj + ".weight"] = n(odim, hidden)
-        unet_sd[f"{block}.transformer_blocks.0.attn1.to_k.weight"] = n(odim, odim)
+        json.dump(unet_cfg_hf, f)
+    ucfg = unet_mod.UNetConfig.from_hf(unet_cfg_hf)
+    unet_sd = unet_mod.init_state_dict(ucfg, rng)
     save_file(unet_sd, os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"))
+
+    # vae/
+    vae_cfg_hf = {
+        "_class_name": "AutoencoderKL",
+        "in_channels": 3, "out_channels": 3, "latent_channels": 4,
+        "block_out_channels": [8, 16], "layers_per_block": 1,
+        "norm_num_groups": 4, "scaling_factor": 0.18215,
+    }
+    vae_dir = os.path.join(root, "vae")
+    os.makedirs(vae_dir, exist_ok=True)
+    with open(os.path.join(vae_dir, "config.json"), "w") as f:
+        json.dump(vae_cfg_hf, f)
+    vcfg = vae_mod.VAEConfig.from_hf(vae_cfg_hf)
+    save_file(vae_mod.init_state_dict(vcfg, rng),
+              os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
+
+    # scheduler/
+    sch_dir = os.path.join(root, "scheduler")
+    os.makedirs(sch_dir, exist_ok=True)
+    with open(os.path.join(sch_dir, "scheduler_config.json"), "w") as f:
+        json.dump({
+            "_class_name": "PNDMScheduler",
+            "beta_start": 0.00085, "beta_end": 0.012,
+            "beta_schedule": "scaled_linear",
+            "num_train_timesteps": 1000,
+            "set_alpha_to_one": False, "steps_offset": 1,
+            "skip_prk_steps": True,
+        }, f)
     return root

@@ -1,0 +1,124 @@
+"""Scheduler math invariants (oracle-free exactness properties)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from uce_tpu.diffusion import schedulers
+
+
+def _simulate(plan, x0, eps_true, model="eps_true"):
+    """Run a scan-style loop where the model returns the exact noise."""
+    lat = eps_true * plan.init_noise_sigma  # pure-noise start (x0-free init)
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat_new, carry = plan.step(jnp.asarray(eps_true), i,
+                                   jnp.asarray(lat, jnp.float32), carry)
+        lat = np.asarray(lat_new)
+    return lat
+
+
+def test_ddim_perfect_model_recovers_x0():
+    # If the model always predicts the true noise of x_t = sqrt(a) x0 +
+    # sqrt(1-a) eps, each DDIM step maps exactly onto the next (a, x0) pair.
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    plan = schedulers.ddim_plan(10)
+    a0 = np.asarray(plan.tables["alpha_t"][0])
+    lat = np.sqrt(a0) * x0 + np.sqrt(1 - a0) * eps
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat, carry = plan.step(jnp.asarray(eps), i, jnp.asarray(lat), carry)
+        lat = np.asarray(lat)
+    a_last = np.asarray(plan.tables["alpha_prev"][-1])
+    expected = np.sqrt(a_last) * x0 + np.sqrt(1 - a_last) * eps
+    np.testing.assert_allclose(lat, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_euler_constant_derivative_exact():
+    # Euler in sigma space integrates a constant derivative exactly:
+    # x_i = x0 + sigma_i * eps  ->  final (sigma=0) == x0.
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    plan = schedulers.euler_plan(7, timestep_spacing="linspace")
+    sig0 = float(plan.tables["sigmas"][0])
+    lat = x0 + sig0 * eps
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat, carry = plan.step(jnp.asarray(eps), i, jnp.asarray(lat), carry)
+        lat = np.asarray(lat)
+    np.testing.assert_allclose(lat, x0, rtol=1e-3, atol=1e-3)
+
+
+def test_lms_constant_derivative_exact():
+    rng = np.random.default_rng(2)
+    x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    plan = schedulers.lms_plan(9)
+    sig0 = float(plan.tables["sigmas"][0])
+    lat = x0 + sig0 * eps
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat, carry = plan.step(jnp.asarray(eps), i, jnp.asarray(lat), carry)
+        lat = np.asarray(lat)
+    np.testing.assert_allclose(lat, x0, rtol=1e-3, atol=1e-3)
+
+
+def test_lms_coeff_sums():
+    # Order-1 exactness: per-step LMS coefficients sum to sigma_{t+1}-sigma_t.
+    plan = schedulers.lms_plan(12)
+    sig = np.asarray(plan.tables["sigmas"])
+    coeffs = np.asarray(plan.tables["coeffs"])
+    np.testing.assert_allclose(
+        coeffs.sum(-1), sig[1:] - sig[:-1], rtol=1e-3, atol=1e-5
+    )
+
+
+def test_pndm_plan_structure():
+    plan = schedulers.pndm_plan(10)
+    ts = np.asarray(plan.timesteps)
+    assert plan.num_calls == 11  # S+1 model evals (PLMS warmup corrector)
+    assert ts[1] == ts[2]  # the second timestep is evaluated twice
+    assert (np.diff(ts[2:]) < 0).all()
+
+
+def test_pndm_perfect_model_recovers_x0():
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    plan = schedulers.pndm_plan(10)
+    a0 = np.asarray(plan.tables["alpha_t"][0])
+    lat = np.sqrt(a0) * x0 + np.sqrt(1 - a0) * eps
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat, carry = plan.step(jnp.asarray(eps), i, jnp.asarray(lat), carry)
+        lat = np.asarray(lat)
+    a_last = np.asarray(plan.tables["alpha_prev"][-1])
+    expected = np.sqrt(a_last) * x0 + np.sqrt(1 - a_last) * eps
+    np.testing.assert_allclose(lat, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_flow_match_euler_constant_velocity():
+    # x_t = x1 + sigma*(noise - x1) with constant v = noise - x1; Euler is
+    # exact: final == x1.
+    rng = np.random.default_rng(4)
+    x1 = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    noise = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    plan = schedulers.flow_match_euler_plan(6)
+    v = noise - x1
+    sig0 = float(plan.tables["sigmas"][0])
+    lat = x1 + sig0 * v
+    carry = plan.init_carry(lat.shape)
+    for i in range(plan.num_calls):
+        lat, carry = plan.step(jnp.asarray(v), i, jnp.asarray(lat), carry)
+        lat = np.asarray(lat)
+    np.testing.assert_allclose(lat, x1, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_from_hf_dispatch():
+    for cls, kind in [("PNDMScheduler", "pndm"), ("DDIMScheduler", "ddim"),
+                      ("LMSDiscreteScheduler", "lms"),
+                      ("EulerDiscreteScheduler", "euler")]:
+        plan = schedulers.plan_from_hf({"_class_name": cls}, 5)
+        assert plan.kind == kind

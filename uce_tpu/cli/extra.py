@@ -8,9 +8,6 @@ from __future__ import annotations
 
 
 def register(sub) -> None:
-    _register_placeholder(sub)
+    from uce_tpu.eval import generate
 
-
-def _register_placeholder(sub) -> None:
-    # Replaced as debias/generate/eval subcommands land.
-    return None
+    generate.register_cli(sub)

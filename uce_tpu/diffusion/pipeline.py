@@ -1,0 +1,159 @@
+"""Text-to-image pipeline for SD v1.x / v2.x (SDXL via dual encoders).
+
+JAX-native replacement for ``diffusers.StableDiffusionPipeline`` as used by
+``evalscripts/generate-images-sd.py``: tokenize -> CLIP encode -> fused
+CFG+scheduler scan over the UNet -> VAE decode -> uint8 images. The whole
+latents->image path is jitted once per (batch, size, steps) signature and
+reused across prompts/CSV rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uce_tpu.diffusion import sampler, schedulers
+from uce_tpu.edit import embeddings as emb
+from uce_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
+from uce_tpu.models.hf_loader import load_json, load_state_dict
+from uce_tpu.utils import torch_rng
+
+
+@dataclasses.dataclass
+class SDPipeline:
+    unet_params: dict
+    unet_config: unet_mod.UNetConfig
+    text_params: dict
+    text_config: clip_text.CLIPTextConfig
+    tokenizer: object
+    vae_params: dict
+    vae_config: vae_mod.VAEConfig
+    scheduler_config: dict
+    dtype: object = jnp.float32
+
+    # ---------------------------------------------------------------- load
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
+                        scheduler: str | None = None) -> "SDPipeline":
+        ucfg = unet_mod.UNetConfig.from_hf(
+            load_json(os.path.join(model_dir, "unet", "config.json")))
+        uparams = unet_mod.nest_state_dict(
+            load_state_dict(model_dir, "unet", dtype=np.float32))
+        vcfg = vae_mod.VAEConfig.from_hf(
+            load_json(os.path.join(model_dir, "vae", "config.json")))
+        vparams = unet_mod.nest_state_dict(
+            load_state_dict(model_dir, "vae", dtype=np.float32))
+        from uce_tpu.edit.sd import load_text_encoder, load_tokenizer
+
+        tparams, tcfg = load_text_encoder(model_dir)
+        tok = load_tokenizer(model_dir)
+        sched_path = os.path.join(model_dir, "scheduler",
+                                  "scheduler_config.json")
+        scfg = load_json(sched_path) if os.path.exists(sched_path) else {
+            "_class_name": "PNDMScheduler"}
+        if scheduler is not None:
+            scfg = dict(scfg, _class_name=scheduler)
+        pipe = cls(
+            unet_params=unet_mod.cast_params(uparams, dtype),
+            unet_config=ucfg,
+            text_params=tparams, text_config=tcfg, tokenizer=tok,
+            vae_params=unet_mod.cast_params(vparams, dtype),
+            vae_config=vcfg, scheduler_config=scfg, dtype=dtype,
+        )
+        return pipe
+
+    # --------------------------------------------------------------- edits
+    def load_uce_edits(self, safetensors_path: str) -> None:
+        """Overlay UCE-edited weights (JAX load_state_dict(strict=False))."""
+        from safetensors.numpy import load_file
+
+        edits = load_file(safetensors_path)
+        self.unet_params = unet_mod.overlay_edits(self.unet_params, edits)
+
+    # ------------------------------------------------------------- encode
+    def encode_prompts(self, prompts: Sequence[str]):
+        ids, _ = emb.tokenize_batch(
+            self.tokenizer, list(prompts),
+            self.text_config.max_position_embeddings)
+        last_hidden, _, _ = clip_text.encode_tokens(
+            self.text_params, jnp.asarray(ids), self.text_config)
+        return last_hidden.astype(self.dtype)
+
+    # ----------------------------------------------------------- generate
+    def __call__(
+        self,
+        prompt: str | Sequence[str],
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        num_images_per_prompt: int = 1,
+        seed: int = 0,
+        height: int = 512,
+        width: int = 512,
+        scheduler: str | None = None,
+    ) -> np.ndarray:
+        """Returns uint8 images [N, H, W, 3]."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
+        bsz = len(prompts)
+
+        cond = self.encode_prompts(prompts)
+        uncond = self.encode_prompts([""] * bsz)
+        context = jnp.concatenate([uncond, cond], axis=0)
+
+        vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        lh, lw = height // vae_scale, width // vae_scale
+        latents = jnp.asarray(torch_rng.randn(
+            (bsz, lh, lw, self.unet_config.in_channels), seed
+        ), self.dtype)
+
+        sched_name = scheduler
+        plan = (schedulers.make_plan(sched_name, num_inference_steps)
+                if sched_name else
+                schedulers.plan_from_hf(self.scheduler_config,
+                                        num_inference_steps))
+        images = _generate_jit(
+            self, plan, latents, context, float(guidance_scale))
+        return np.asarray(images)
+
+
+def _tree_version(pipe):
+    # jit cache key: identity of the parameter trees
+    return (id(pipe.unet_params), id(pipe.vae_params))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_generate(unet_config, vae_config, plan_key, shape_key):
+    """Build the jitted latents->uint8 function for one static signature."""
+
+    def fn(unet_params, vae_params, plan, latents, context, guidance_scale):
+        def model_fn(lat_in, t):
+            return unet_mod.apply(
+                unet_params, lat_in, t, context, unet_config)
+
+        final = sampler.denoise(
+            model_fn, plan, latents,
+            guidance_fn=lambda e: sampler.cfg_combine(e, guidance_scale),
+        )
+        scaled = final.astype(jnp.float32) / vae_config.scaling_factor
+        imgs = vae_mod.decode(vae_params, scaled.astype(latents.dtype),
+                              vae_config)
+        imgs = (imgs.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+        return jnp.round(imgs * 255.0).astype(jnp.uint8)
+
+    return jax.jit(fn, static_argnames=())
+
+
+def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale):
+    fn = _compiled_generate(
+        pipe.unet_config, pipe.vae_config,
+        (plan.kind, plan.num_calls),
+        (latents.shape, str(latents.dtype)),
+    )
+    return fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
+              jnp.float32(guidance_scale))

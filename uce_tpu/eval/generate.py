@@ -1,0 +1,105 @@
+"""Batch image generation over a prompts CSV (evalscripts/generate-images-sd.py).
+
+Same contract as the reference: CSV with columns
+``case_number, prompt, evaluation_seed`` -> PNGs named ``{case}_{num}.png``,
+``--from_case/--till_case`` resume windows, optional UCE safetensors
+overlay. Rows with identical generation signatures share one compiled
+program; multiple samples per prompt run as one batched denoise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from uce_tpu.diffusion.pipeline import SDPipeline
+from uce_tpu.utils.imaging import save_case_images
+
+
+def generate_images(
+    model_name: str,
+    prompts_path: str,
+    save_path: str,
+    uce_model_path: str | None = None,
+    device: str | None = None,
+    guidance_scale: float = 7.5,
+    image_size: int = 512,
+    ddim_steps: int = 50,
+    num_samples: int = 1,
+    from_case: int = 0,
+    till_case: int = 1_000_000,
+    dtype="bfloat16",
+    scheduler: str | None = None,
+) -> int:
+    """Returns the number of generated cases."""
+    import jax.numpy as jnp
+
+    jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(dtype)]
+    pipe = SDPipeline.from_pretrained(model_name, dtype=jdtype)
+    if uce_model_path:
+        pipe.load_uce_edits(uce_model_path)
+
+    df = pd.read_csv(prompts_path)
+    folder = os.path.join(
+        save_path,
+        os.path.basename(uce_model_path).replace(".safetensors", "")
+        if uce_model_path else "original",
+    )
+    os.makedirs(folder, exist_ok=True)
+
+    n = 0
+    for _, row in df.iterrows():
+        case_number = row.case_number
+        if not (from_case <= case_number <= till_case):
+            continue
+        images = pipe(
+            str(row.prompt),
+            num_inference_steps=ddim_steps,
+            guidance_scale=guidance_scale,
+            num_images_per_prompt=num_samples,
+            seed=int(row.evaluation_seed),
+            height=image_size, width=image_size,
+            scheduler=scheduler,
+        )
+        save_case_images(images, folder, case_number)
+        n += 1
+    return n
+
+
+def register_cli(sub) -> None:
+    p = sub.add_parser("generate",
+                       help="CSV prompts -> PNG images (eval protocol)")
+    p.add_argument("--model_name", type=str, required=True,
+                   help="local HF snapshot directory")
+    p.add_argument("--prompts_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--uce_model_path", type=str, default=None,
+                   help="UCE safetensors overlay")
+    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--from_case", type=int, default=0)
+    p.add_argument("--till_case", type=int, default=1_000_000)
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--scheduler",
+                   choices=["ddim", "pndm", "lms", "euler"], default=None)
+    p.set_defaults(func=_cmd)
+
+
+def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(args.device)
+    n = generate_images(
+        args.model_name, args.prompts_path, args.save_path,
+        uce_model_path=args.uce_model_path, guidance_scale=args.guidance_scale,
+        image_size=args.image_size, ddim_steps=args.ddim_steps,
+        num_samples=args.num_samples, from_case=args.from_case,
+        till_case=args.till_case, dtype=args.dtype, scheduler=args.scheduler,
+    )
+    print(f"generated {n} cases")
+    return 0

@@ -1,0 +1,99 @@
+"""Shared NN building blocks, NHWC layout (TPU-native).
+
+diffusers checkpoints are NCHW/OIHW torch; loaders convert conv kernels to
+HWIO and linear weights to [in, out] once at load so every forward is plain
+``x @ w`` / ``conv_general_dilated`` with MXU-friendly layouts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+           stride: int = 1, padding: int | str = 1) -> jnp.ndarray:
+    """NHWC conv. kernel HWIO."""
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
+    y = x @ w
+    if b is not None:
+        y = y + b
+    return y
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over NHWC (or N...C) tensors, fp32 statistics."""
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    g = num_groups
+    xg = x.astype(jnp.float32).reshape(x.shape[:-1] + (g, c // g))
+    axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = xg.mean(axes, keepdims=True)
+    var = xg.var(axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(x.shape) * scale + bias
+    return y.astype(orig_dtype)
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding).
+
+    timesteps [B] -> [B, dim]; default flags match UNet2DConditionModel
+    (flip_sin_to_cos=True, freq_shift=0).
+    """
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# weight conversion helpers (torch state dict -> our layouts)
+# ---------------------------------------------------------------------------
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_weight(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.swapaxes(w, -1, -2)

@@ -1,0 +1,54 @@
+"""Image IO: uint8 arrays <-> PNG files (PIL when present, pure-Python
+fallback), plus the {case}_{num}.png naming convention of the reference
+eval scripts (``evalscripts/generate-images-sd.py:45-46``)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+
+def save_png(array: np.ndarray, path: str) -> None:
+    """Save uint8 [H, W, 3] as PNG."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        from PIL import Image
+
+        Image.fromarray(array).save(path)
+        return
+    except ImportError:  # pragma: no cover
+        _save_png_pure(array, path)
+
+
+def _save_png_pure(array: np.ndarray, path: str) -> None:  # pragma: no cover
+    h, w, _ = array.shape
+    raw = b"".join(b"\x00" + array[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def case_image_path(folder: str, case_number, num: int) -> str:
+    return os.path.join(folder, f"{case_number}_{num}.png")
+
+
+def save_case_images(images: np.ndarray, folder: str, case_number) -> None:
+    for num in range(images.shape[0]):
+        save_png(images[num], case_image_path(folder, case_number, num))
