@@ -1,0 +1,157 @@
+"""Headline benchmark: SD v1.4 512x512 50-step generation throughput/chip.
+
+Prints ONE JSON line:
+  {"metric": "sd14_512_50step_img_per_s", "value": N, "unit": "img/s",
+   "vs_baseline": N / 2.0}
+
+Baseline 2.0 img/s/chip is the driver's north-star target (BASELINE.md).
+Runs on real-shape random weights (no model download; throughput is
+value-independent). A secondary line on stderr reports the 100-concept
+edit wall-clock against its <1 s target.
+
+Usage: python bench.py [--tiny] [--batch N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
+               n_preserve: int = 50) -> float:
+    """100-concept edit of all cross-attn layers; returns seconds/edit."""
+    import jax
+    import numpy as np
+
+    from uce_tpu.ops.solver import apply_edit_matrix, uce_edit_matrix
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    out_dims = ([320] * 12 + [640] * 8 + [1280] * 12)[:n_layers]
+    # weights/embeddings staged on device once, as in a real serving flow
+    w_cat = jnp.asarray(
+        rng.standard_normal((sum(out_dims), d)).astype(np.float32) * 0.02)
+    c_edit = jnp.asarray(rng.standard_normal((n_concepts, d)).astype(np.float32))
+    c_guide = jnp.asarray(rng.standard_normal((n_concepts, d)).astype(np.float32))
+    c_pres = jnp.asarray(rng.standard_normal((n_preserve, d)).astype(np.float32))
+    jax.block_until_ready((w_cat, c_edit, c_guide, c_pres))
+
+    jit_edit = jax.jit(lambda w, ce, cg, cp: apply_edit_matrix(
+        w, uce_edit_matrix(ce, cg, cp, 1.0, 1.0, 0.5)))
+
+    def run():
+        return jit_edit(w_cat, c_edit, c_guide, c_pres)
+
+    jax.block_until_ready(run())  # compile
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = run()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_generation(tiny: bool, batch: int, steps: int) -> float:
+    """Returns images/second for 512x512 SD v1.4-architecture generation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uce_tpu.diffusion import sampler, schedulers
+    from uce_tpu.models import unet as unet_mod, vae as vae_mod
+
+    if tiny:
+        config = unet_mod.UNetConfig(
+            block_out_channels=(8, 16),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1, cross_attention_dim=32,
+            attention_head_dim=2, norm_num_groups=4,
+        )
+        vae_config = vae_mod.VAEConfig(block_out_channels=(8, 16),
+                                       layers_per_block=1, norm_num_groups=4)
+        hw, text_dim, seq = 8, 32, 8
+    else:
+        config = unet_mod.SD14_UNET_CONFIG
+        vae_config = vae_mod.SD_VAE_CONFIG
+        hw, text_dim, seq = 64, 768, 77
+
+    dtype = jnp.bfloat16
+    params = unet_mod.nest_state_dict(
+        unet_mod.init_state_dict(config, np.random.default_rng(0)), dtype)
+    vae_params = unet_mod.nest_state_dict(
+        vae_mod.init_state_dict(vae_config, np.random.default_rng(1)), dtype)
+    jax.block_until_ready((params, vae_params))
+    plan = schedulers.pndm_plan(steps)
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((batch, hw, hw, 4)), dtype)
+    context = jnp.asarray(
+        rng.standard_normal((2 * batch, seq, text_dim)) * 0.1, dtype)
+
+    @jax.jit
+    def generate(params, vae_params, plan, latents, context):
+        def model_fn(lat_in, t):
+            return unet_mod.apply(params, lat_in, t, context, config)
+
+        final = sampler.denoise(
+            model_fn, plan, latents,
+            guidance_fn=lambda e: sampler.cfg_combine(e, 7.5),
+        )
+        imgs = vae_mod.decode(
+            vae_params,
+            (final.astype(jnp.float32) / vae_config.scaling_factor).astype(dtype),
+            vae_config)
+        imgs = (imgs.astype(jnp.float32) / 2 + 0.5).clip(0, 1)
+        return jnp.round(imgs * 255).astype(jnp.uint8)
+
+    # Force full materialization via device->host copy: on the experimental
+    # axon platform block_until_ready alone has been observed to return
+    # before execution completes (measured: impossible throughputs).
+    t0 = time.perf_counter()
+    np.asarray(generate(params, vae_params, plan, latents, context))
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    n_runs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = np.asarray(generate(params, vae_params, plan, latents, context))
+    sec_per_run = (time.perf_counter() - t0) / n_runs
+    del out
+    return batch / sec_per_run
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test mode (tiny model, CPU-friendly)")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--skip_edit", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_edit:
+        edit_s = bench_edit()
+        print(f"100-concept edit: {edit_s*1000:.1f} ms "
+              f"(target < 1000 ms, {1.0/edit_s:.1f}x headroom)",
+              file=sys.stderr)
+
+    img_per_s = bench_generation(args.tiny, args.batch, args.steps)
+    result = {
+        "metric": "sd14_512_50step_img_per_s" if not args.tiny
+        else "tiny_smoke_img_per_s",
+        "value": round(img_per_s, 4),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / 2.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 
 def register(sub) -> None:
+    from uce_tpu.cli import debias_cmd
     from uce_tpu.eval import generate
 
     generate.register_cli(sub)
+    debias_cmd.register_cli(sub)

@@ -40,7 +40,9 @@ def denoise(
     here (reference: ``debiasing_vl.py:122``).
     """
     latents = latents * plan.init_noise_sigma
-    carry0 = plan.init_carry(latents.shape, latents.dtype)
+    # Multistep history is kept fp32 regardless of the compute dtype — the
+    # scheduler arithmetic is precision-sensitive and tiny next to the UNet.
+    carry0 = plan.init_carry(latents.shape, jnp.float32)
 
     def body(carry, i):
         lat, hist = carry

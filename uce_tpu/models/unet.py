@@ -306,12 +306,19 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
 # parameter construction / conversion
 # ---------------------------------------------------------------------------
 
-def nest_state_dict(flat: Mapping[str, np.ndarray]) -> dict:
+def nest_state_dict(flat: Mapping[str, np.ndarray], dtype=None) -> dict:
     """Flat diffusers state dict -> nested pytree with converted layouts.
 
     Conversion rule by tensor rank: 4D conv kernels OIHW->HWIO, 2D linear
-    weights [out,in]->[in,out]; 1D tensors pass through.
+    weights [out,in]->[in,out]; 1D tensors pass through. ``dtype`` casts
+    host-side before transfer (halves H2D bytes for bf16).
     """
+    import ml_dtypes
+
+    np_dtype = None
+    if dtype is not None:
+        np_dtype = np.dtype(
+            ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else dtype)
     tree: dict = {}
     for key, v in flat.items():
         parts = key.split(".")
@@ -324,6 +331,8 @@ def nest_state_dict(flat: Mapping[str, np.ndarray]) -> dict:
             v = conv_kernel(v)
         elif leaf == "weight" and v.ndim == 2:
             v = linear_weight(v)
+        if np_dtype is not None and np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np_dtype)
         node[leaf] = jnp.asarray(v)
     return tree
 
