@@ -189,6 +189,38 @@ def apply_edit_matrix(w_old, edit_matrix: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("assume_spd",))
+def uce_edit_matrix_batch(
+    c_edit: jnp.ndarray,
+    c_guide: jnp.ndarray,
+    c_pres: jnp.ndarray | None = None,
+    erase_scale=1.0,
+    preserve_scale=1.0,
+    lamb=0.5,
+    *,
+    assume_spd: bool = True,
+) -> jnp.ndarray:
+    """Per-module edit matrices for stacks of per-module embeddings.
+
+    c_edit/c_guide: [M, K, d]; c_pres: [M, P, d] or None. Returns E [M, d, d]
+    with W_new[m] = W_old[m] @ E[m]. Used by HiDream, where each
+    caption_projection sees a different encoder layer's embeddings
+    (``uce_hidream_edit.py:138-141``); the M solves batch into one
+    vmapped Cholesky launch.
+    """
+    c_edit = jnp.asarray(c_edit, jnp.float32)
+    if c_pres is None:
+        c_pres = jnp.zeros((c_edit.shape[0], 0, c_edit.shape[-1]), jnp.float32)
+
+    def one(ce, cg, cp):
+        return uce_edit_matrix(
+            ce, cg, cp, erase_scale, preserve_scale, lamb,
+            assume_spd=assume_spd)
+
+    return jax.vmap(one)(c_edit, jnp.asarray(c_guide, jnp.float32),
+                         jnp.asarray(c_pres, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("assume_spd",))
 def uce_solve_layer(
     w_old: jnp.ndarray,
     c_edit: jnp.ndarray,
