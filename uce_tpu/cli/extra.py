@@ -9,8 +9,28 @@ from __future__ import annotations
 
 def register(sub) -> None:
     from uce_tpu.cli import debias_cmd, edit_cmds
-    from uce_tpu.eval import generate
+    from uce_tpu.eval import (
+        baselines,
+        clip_classify,
+        clip_score,
+        compare_grids,
+        dreamsim,
+        generate,
+        imageclassify,
+        lpips,
+        nudenet,
+        styleloss,
+    )
 
     generate.register_cli(sub)
     debias_cmd.register_cli(sub)
     edit_cmds.register_cli(sub)
+    baselines.register_cli(sub)
+    clip_classify.register_cli(sub)
+    clip_score.register_cli(sub)
+    lpips.register_cli(sub)
+    styleloss.register_cli(sub)
+    imageclassify.register_cli(sub)
+    dreamsim.register_cli(sub)
+    nudenet.register_cli(sub)
+    compare_grids.register_cli(sub)

@@ -96,15 +96,48 @@ class SDPipeline:
         height: int = 512,
         width: int = 512,
         scheduler: str | None = None,
+        mode: str = "cfg",
+        concepts_to_project: Sequence[str] | None = None,
+        safety_concept: str | None = None,
+        sld_config=None,
+        debias_projection: np.ndarray | None = None,
     ) -> np.ndarray:
-        """Returns uint8 images [N, H, W, 3]."""
+        """Returns uint8 images [N, H, W, 3].
+
+        mode: 'cfg' (default), 'concept_algebra' (needs 3
+        concepts_to_project), 'sld' (safety_concept + sld_config preset), or
+        'debias_vl' (debias_projection P applied to the text embeddings).
+        """
+        from uce_tpu.diffusion import guidance as gmod
+
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
 
         cond = self.encode_prompts(prompts)
         uncond = self.encode_prompts([""] * bsz)
-        context = jnp.concatenate([uncond, cond], axis=0)
+
+        if mode == "cfg":
+            context = jnp.concatenate([uncond, cond], axis=0)
+        elif mode == "concept_algebra":
+            if concepts_to_project is None or len(concepts_to_project) != 3:
+                raise ValueError(
+                    "concept_algebra needs exactly 3 concepts_to_project")
+            projs = [
+                jnp.repeat(self.encode_prompts([c]), bsz, axis=0)
+                for c in concepts_to_project
+            ]
+            context = jnp.concatenate([uncond, cond] + projs, axis=0)
+        elif mode == "sld":
+            safety = safety_concept or gmod.DEFAULT_SAFETY_CONCEPT
+            safe = jnp.repeat(self.encode_prompts([safety]), bsz, axis=0)
+            context = jnp.concatenate([uncond, cond, safe], axis=0)
+        elif mode == "debias_vl":
+            proj = jnp.asarray(debias_projection, jnp.float32)
+            cond = (cond.astype(jnp.float32) @ proj.T).astype(self.dtype)
+            context = jnp.concatenate([uncond, cond], axis=0)
+        else:
+            raise ValueError(f"unknown mode: {mode}")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
@@ -117,8 +150,12 @@ class SDPipeline:
                 if sched_name else
                 schedulers.plan_from_hf(self.scheduler_config,
                                         num_inference_steps))
+        sld_cfg = None
+        if mode == "sld":
+            sld_cfg = sld_config or gmod.SLDConfig()
         images = _generate_jit(
-            self, plan, latents, context, float(guidance_scale))
+            self, plan, latents, context, float(guidance_scale),
+            "cfg" if mode == "debias_vl" else mode, sld_cfg)
         return np.asarray(images)
 
 
@@ -127,19 +164,40 @@ def _tree_version(pipe):
     return (id(pipe.unet_params), id(pipe.vae_params))
 
 
-@functools.lru_cache(maxsize=8)
-def _compiled_generate(unet_config, vae_config, plan_key, shape_key):
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
+                       mode, sld_cfg):
     """Build the jitted latents->uint8 function for one static signature."""
+    from uce_tpu.diffusion import guidance as gmod
+
+    num_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[mode]
 
     def fn(unet_params, vae_params, plan, latents, context, guidance_scale):
         def model_fn(lat_in, t):
             return unet_mod.apply(
                 unet_params, lat_in, t, context, unet_config)
 
-        final = sampler.denoise(
-            model_fn, plan, latents,
-            guidance_fn=lambda e: sampler.cfg_combine(e, guidance_scale),
-        )
+        if mode == "sld":
+            final = sampler.denoise(
+                model_fn, plan, latents,
+                guidance_fn=lambda e, i, m: gmod.sld_combine(
+                    e, guidance_scale, i, m, sld_cfg),
+                num_branches=3,
+                guidance_state=jnp.zeros_like(latents, jnp.float32),
+            )
+        elif mode == "concept_algebra":
+            final = sampler.denoise(
+                model_fn, plan, latents,
+                guidance_fn=lambda e: gmod.concept_algebra_combine(
+                    e, guidance_scale),
+                num_branches=5,
+            )
+        else:
+            final = sampler.denoise(
+                model_fn, plan, latents,
+                guidance_fn=lambda e: sampler.cfg_combine(e, guidance_scale),
+                num_branches=num_branches,
+            )
         scaled = final.astype(jnp.float32) / vae_config.scaling_factor
         imgs = vae_mod.decode(vae_params, scaled.astype(latents.dtype),
                               vae_config)
@@ -149,11 +207,13 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key):
     return jax.jit(fn, static_argnames=())
 
 
-def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale):
+def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
+                  mode: str = "cfg", sld_cfg=None):
     fn = _compiled_generate(
         pipe.unet_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (latents.shape, str(latents.dtype)),
+        mode, sld_cfg,
     )
     return fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
               jnp.float32(guidance_scale))

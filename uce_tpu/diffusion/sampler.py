@@ -28,14 +28,17 @@ def denoise(
     plan: Plan,
     latents: jnp.ndarray,
     *,
-    guidance_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    guidance_fn: Callable[..., jnp.ndarray],
     num_branches: int = 2,
+    guidance_state=None,
 ) -> jnp.ndarray:
     """Run the full denoising scan.
 
     model_fn(latents_in [num_branches*B, H, W, C], t) -> eps for each branch
     (closure carries text embeddings / added conditioning).
-    guidance_fn(eps_branches) -> combined eps [B, ...].
+    guidance_fn: either eps_branches -> eps (stateless), or
+    (eps_branches, step_index, state) -> (eps, state) when
+    ``guidance_state`` is given (e.g. SLD safety momentum).
     ``latents`` are the raw unit gaussians; init_noise_sigma scaling happens
     here (reference: ``debiasing_vl.py:122``).
     """
@@ -43,20 +46,26 @@ def denoise(
     # Multistep history is kept fp32 regardless of the compute dtype — the
     # scheduler arithmetic is precision-sensitive and tiny next to the UNet.
     carry0 = plan.init_carry(latents.shape, jnp.float32)
+    stateful = guidance_state is not None
+    gstate0 = guidance_state if stateful else jnp.zeros((0,), jnp.float32)
 
     def body(carry, i):
-        lat, hist = carry
+        lat, hist, gstate = carry
         lat_in = jnp.concatenate([lat] * num_branches, axis=0)
         lat_in = plan.scale_model_input(lat_in, i)
         t = plan.timesteps[i]
         eps_branches = model_fn(lat_in, t)
-        eps = guidance_fn(eps_branches).astype(lat.dtype)
+        if stateful:
+            eps, gstate = guidance_fn(eps_branches, i, gstate)
+        else:
+            eps = guidance_fn(eps_branches)
+        eps = eps.astype(lat.dtype)
         new_lat, hist = plan.step(
             eps.astype(jnp.float32), i, lat.astype(jnp.float32), hist
         )
-        return (new_lat.astype(lat.dtype), hist), None
+        return (new_lat.astype(lat.dtype), hist, gstate), None
 
-    (final, _), _ = jax.lax.scan(
-        body, (latents, carry0), jnp.arange(plan.num_calls)
+    (final, _, _), _ = jax.lax.scan(
+        body, (latents, carry0, gstate0), jnp.arange(plan.num_calls)
     )
     return final

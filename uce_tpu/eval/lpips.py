@@ -1,0 +1,152 @@
+"""LPIPS perceptual distance (AlexNet variant) — evalscripts/lpips_eval.py.
+
+Protocol: pair ``{case}_{num}.png`` across an original-model folder and an
+edited-model folder at 64px with (x/255 - 0.5) * 2 normalization
+(``lpips_eval.py:22-33,51``); per-case means -> ``{folder}_lpipsloss.csv``.
+The reference's dead ``--image`` branch (``:53-58``, calls undefined
+helpers) is intentionally not replicated (SURVEY.md do-not-replicate list).
+
+LPIPS weights load from a local file holding the lpips-package state dict
+(``lin{i}.model.1.weight`` 1x1 convs) plus torchvision AlexNet features.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from uce_tpu.models.vision_backbones import alexnet_features
+
+# lpips package scaling layer constants
+LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def load_lpips_weights(path: str) -> dict:
+    """Load {alexnet state dict + lin weights} from a safetensors/pt file."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(
+            path, map_location="cpu", weights_only=True).items()}
+    from uce_tpu.models.vision_backbones import convert_alexnet
+
+    net_sd = {k.split("net.", 1)[1]: v for k, v in sd.items()
+              if k.startswith("net.")}
+    alex = convert_alexnet(net_sd if net_sd else sd)
+    lins = []
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in sd:
+                lins.append(jnp.asarray(np.asarray(sd[key]).reshape(-1)))
+                break
+        else:
+            raise KeyError(f"missing LPIPS linear weight lin{i}")
+    return {"alex": alex, "lins": lins}
+
+
+def lpips_distance(params: dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """x, y [B,H,W,3] in [-1,1] -> LPIPS distance [B]."""
+    def scale(v):
+        return (v - LPIPS_SHIFT) / LPIPS_SCALE
+
+    fx = alexnet_features(params["alex"], scale(x))
+    fy = alexnet_features(params["alex"], scale(y))
+    total = 0.0
+    for tap_x, tap_y, lin in zip(fx, fy, params["lins"]):
+        nx = tap_x * jax.lax.rsqrt((tap_x ** 2).sum(-1, keepdims=True) + 1e-10)
+        ny = tap_y * jax.lax.rsqrt((tap_y ** 2).sum(-1, keepdims=True) + 1e-10)
+        diff = (nx - ny) ** 2
+        total = total + (diff @ lin).mean(axis=(1, 2))
+    return total
+
+
+def _load_pair_image(path: str, size: int = 64) -> np.ndarray:
+    from uce_tpu.utils.imaging import load_image
+
+    img = jnp.asarray(load_image(path), jnp.float32) / 255.0
+    img = jax.image.resize(img, (size, size, 3), method="bilinear")
+    return np.asarray((img - 0.5) * 2.0)
+
+
+def eval_folders(
+    params: dict,
+    original_path: str,
+    edited_path: str,
+    prompts_path: str | None = None,
+    save_path: str | None = None,
+    num_samples: int = 10,
+    image_size: int = 64,
+    distance_fn=None,
+) -> pd.DataFrame:
+    """Per-case mean distances between paired case images.
+
+    ``distance_fn`` overrides the metric (used by dreamsim_eval's shared
+    protocol); defaults to LPIPS with ``params``.
+    """
+    if distance_fn is None:
+        distance_fn = lambda a, b: lpips_distance(params, a, b)
+
+    cases: dict[int, list[float]] = {}
+    names = [n for n in os.listdir(original_path) if n.endswith(".png")]
+    for name in sorted(names):
+        edited_file = os.path.join(edited_path, name)
+        if not os.path.exists(edited_file):
+            continue  # reference skips missing pairs (lpips_eval.py:74-83)
+        try:
+            case = int(name.split("_")[0])
+        except ValueError:
+            continue
+        a = _load_pair_image(os.path.join(original_path, name), image_size)
+        b = _load_pair_image(edited_file, image_size)
+        d = float(np.asarray(distance_fn(a[None], b[None]))[0])
+        cases.setdefault(case, []).append(d)
+
+    if not cases:
+        raise FileNotFoundError("no paired case images found")
+    df = pd.DataFrame(
+        [{"case_number": c, "loss": float(np.mean(v))}
+         for c, v in sorted(cases.items())])
+    if prompts_path:
+        df = pd.read_csv(prompts_path).merge(df, on="case_number",
+                                             how="inner")
+    if save_path:
+        df.to_csv(save_path, index=False)
+    return df
+
+
+def register_cli(sub) -> None:
+    p = sub.add_parser("eval-lpips",
+                       help="LPIPS distance between original/edited folders")
+    p.add_argument("--original_path", type=str, required=True)
+    p.add_argument("--edited_path", type=str, required=True)
+    p.add_argument("--weights", type=str, required=True,
+                   help="local LPIPS+AlexNet state dict (.pt/.safetensors)")
+    p.add_argument("--prompts_path", type=str, default=None)
+    p.add_argument("--save_path", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--device", type=str, default=None)
+    p.set_defaults(func=_cmd)
+
+
+def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(args.device)
+    params = load_lpips_weights(args.weights)
+    save_path = args.save_path or (
+        args.edited_path.rstrip("/") + "_lpipsloss.csv")
+    df = eval_folders(params, args.original_path, args.edited_path,
+                      prompts_path=args.prompts_path, save_path=save_path,
+                      image_size=args.image_size)
+    print(f"wrote {save_path} ({len(df)} cases, "
+          f"mean {df['loss'].mean():.4f})")
+    return 0

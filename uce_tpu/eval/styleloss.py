@@ -1,0 +1,145 @@
+"""Gatys VGG-19 Gram-matrix style/content loss — evalscripts/styleloss.py.
+
+Sequential-conv naming matches the reference's model assembly
+(``styleloss.py:113-170``): conv_1..conv_5 are the first five Conv2d layers
+(with loss taps directly on conv outputs); content layer conv_4, style
+layers conv_1..conv_5; weights style 1e6, content 1 (``:174``).
+Per-case means -> ``{folder}_styleloss.csv``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from uce_tpu.models.vision_backbones import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    vgg19_features,
+)
+
+STYLE_LAYERS = (0, 1, 2, 3, 4)  # conv_1..conv_5 (sequential numbering)
+CONTENT_LAYER = 3  # conv_4
+STYLE_WEIGHT = 1e6
+CONTENT_WEIGHT = 1.0
+
+
+def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> normalized Gram [B,C,C] (styleloss.py:49-60)."""
+    b, h, w, c = feat.shape
+    f = feat.reshape(b, h * w, c)
+    return jnp.einsum("bnc,bnd->bcd", f, f) / (b * h * w * c)
+
+
+def style_content_loss(params: dict, image: jnp.ndarray,
+                       style_ref: jnp.ndarray,
+                       content_ref: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (style_loss, content_loss) per batch element."""
+    taps_img = vgg19_features(params, image, num_convs=5)
+    taps_style = vgg19_features(params, style_ref, num_convs=5)
+    taps_content = vgg19_features(params, content_ref, num_convs=5)
+
+    style = 0.0
+    for i in STYLE_LAYERS:
+        g_img = gram_matrix(taps_img[i])
+        g_ref = gram_matrix(taps_style[i])
+        style = style + ((g_img - g_ref) ** 2).mean(axis=(1, 2))
+    content = ((taps_img[CONTENT_LAYER] - taps_content[CONTENT_LAYER]) ** 2
+               ).mean(axis=(1, 2, 3))
+    return STYLE_WEIGHT * style, CONTENT_WEIGHT * content
+
+
+def _prep(path: str, size: int = 64) -> np.ndarray:
+    from uce_tpu.utils.imaging import load_image
+
+    img = jnp.asarray(load_image(path), jnp.float32) / 255.0
+    img = jax.image.resize(img, (size, size, 3), method="bilinear")
+    return np.asarray((img - IMAGENET_MEAN) / IMAGENET_STD)
+
+
+def eval_folders(
+    params: dict,
+    original_path: str,
+    edited_path: str,
+    prompts_path: str | None = None,
+    save_path: str | None = None,
+    image_size: int = 64,
+) -> pd.DataFrame:
+    """Style/content loss of edited images against the originals (the
+    original image serves as both style and content reference, matching
+    the interference-measurement protocol)."""
+    cases: dict[int, list[tuple[float, float]]] = {}
+    for name in sorted(os.listdir(original_path)):
+        if not name.endswith(".png"):
+            continue
+        edited_file = os.path.join(edited_path, name)
+        if not os.path.exists(edited_file):
+            continue
+        try:
+            case = int(name.split("_")[0])
+        except ValueError:
+            continue
+        ref = _prep(os.path.join(original_path, name), image_size)[None]
+        img = _prep(edited_file, image_size)[None]
+        s, c = style_content_loss(params, img, ref, ref)
+        cases.setdefault(case, []).append(
+            (float(np.asarray(s)[0]), float(np.asarray(c)[0])))
+
+    if not cases:
+        raise FileNotFoundError("no paired case images found")
+    df = pd.DataFrame([
+        {"case_number": k,
+         "style_loss": float(np.mean([x[0] for x in v])),
+         "content_loss": float(np.mean([x[1] for x in v]))}
+        for k, v in sorted(cases.items())])
+    if prompts_path:
+        df = pd.read_csv(prompts_path).merge(df, on="case_number",
+                                             how="inner")
+    if save_path:
+        df.to_csv(save_path, index=False)
+    return df
+
+
+def load_vgg_weights(path: str) -> dict:
+    from uce_tpu.models.vision_backbones import convert_vgg19
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return convert_vgg19(load_file(path))
+    import torch
+
+    return convert_vgg19(torch.load(path, map_location="cpu",
+                                    weights_only=True))
+
+
+def register_cli(sub) -> None:
+    p = sub.add_parser("eval-styleloss",
+                       help="VGG19 Gram style/content loss between folders")
+    p.add_argument("--original_path", type=str, required=True)
+    p.add_argument("--edited_path", type=str, required=True)
+    p.add_argument("--weights", type=str, required=True,
+                   help="local VGG19 state dict (.pt/.safetensors)")
+    p.add_argument("--prompts_path", type=str, default=None)
+    p.add_argument("--save_path", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--device", type=str, default=None)
+    p.set_defaults(func=_cmd)
+
+
+def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(args.device)
+    params = load_vgg_weights(args.weights)
+    save_path = args.save_path or (
+        args.edited_path.rstrip("/") + "_styleloss.csv")
+    df = eval_folders(params, args.original_path, args.edited_path,
+                      prompts_path=args.prompts_path, save_path=save_path,
+                      image_size=args.image_size)
+    print(f"wrote {save_path} ({len(df)} cases)")
+    return 0

@@ -1,0 +1,225 @@
+"""Vision backbones for the eval suite: AlexNet (LPIPS), VGG19 (style loss),
+ResNet-50 (ImageNet classify). NHWC JAX implementations of the torchvision
+architectures with loaders for torchvision-format state dicts (weights come
+from a local file; this environment has no download path).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uce_tpu.models.layers import conv2d, conv_kernel, linear_weight
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _conv(x, p, stride=1, padding=1):
+    return conv2d(x, p["weight"], p["bias"], stride=stride, padding=padding)
+
+
+def max_pool(x, window=3, stride=2, padding=0):
+    pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), pads)
+
+
+def _conv_p(sd, name):
+    return {"weight": jnp.asarray(conv_kernel(np.asarray(sd[name + ".weight"]))),
+            "bias": jnp.asarray(np.asarray(sd[name + ".bias"]))}
+
+
+# ---------------------------------------------------------------------------
+# AlexNet features (torchvision .features indices 0,3,6,8,10)
+# ---------------------------------------------------------------------------
+
+ALEXNET_CONV_IDX = (0, 3, 6, 8, 10)
+ALEXNET_CHANNELS = (64, 192, 384, 256, 256)
+
+
+def convert_alexnet(sd: Mapping) -> dict:
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+    return {f"conv{i}": _conv_p(sd, f"{prefix}{idx}")
+            for i, idx in enumerate(ALEXNET_CONV_IDX)}
+
+
+def alexnet_features(params: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
+    """x [B,H,W,3] -> relu outputs of the 5 conv stages (LPIPS taps)."""
+    taps = []
+    h = jax.nn.relu(_conv(x, params["conv0"], stride=4, padding=2))
+    taps.append(h)
+    h = max_pool(h)
+    h = jax.nn.relu(_conv(h, params["conv1"], padding=2))
+    taps.append(h)
+    h = max_pool(h)
+    h = jax.nn.relu(_conv(h, params["conv2"]))
+    taps.append(h)
+    h = jax.nn.relu(_conv(h, params["conv3"]))
+    taps.append(h)
+    h = jax.nn.relu(_conv(h, params["conv4"]))
+    taps.append(h)
+    return taps
+
+
+def init_alexnet(rng: np.random.Generator) -> dict:
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    out = {}
+    for i, s in enumerate(shapes):
+        out[f"conv{i}"] = {
+            "weight": jnp.asarray(conv_kernel(
+                (rng.standard_normal(s) * 0.05).astype(np.float32))),
+            "bias": jnp.zeros(s[0]),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VGG19 features
+# ---------------------------------------------------------------------------
+
+VGG19_LAYOUT = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def convert_vgg19(sd: Mapping) -> dict:
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+    params, idx, conv_i = {}, 0, 0
+    for item in VGG19_LAYOUT:
+        if item == "M":
+            idx += 1
+            continue
+        params[f"conv{conv_i}"] = _conv_p(sd, f"{prefix}{idx}")
+        conv_i += 1
+        idx += 2  # conv + relu
+    return params
+
+
+def vgg19_features(params: dict, x: jnp.ndarray,
+                   num_convs: int | None = None) -> list[jnp.ndarray]:
+    """Returns conv outputs (pre-ReLU, matching the reference's
+    ``styleloss.py`` model assembly which inserts loss modules directly
+    after each Conv2d) in sequential order conv_1, conv_2, ...."""
+    taps, conv_i = [], 0
+    h = x
+    for item in VGG19_LAYOUT:
+        if item == "M":
+            h = max_pool(h, window=2, stride=2)
+            continue
+        h = _conv(h, params[f"conv{conv_i}"])
+        taps.append(h)
+        conv_i += 1
+        if num_convs is not None and conv_i >= num_convs:
+            break
+        h = jax.nn.relu(h)
+    return taps
+
+
+def init_vgg19(rng: np.random.Generator, num_convs: int = 5) -> dict:
+    params, cin, conv_i = {}, 3, 0
+    for item in VGG19_LAYOUT:
+        if item == "M":
+            continue
+        cout = item
+        params[f"conv{conv_i}"] = {
+            "weight": jnp.asarray(conv_kernel(
+                (rng.standard_normal((cout, cin, 3, 3)) * 0.05)
+                .astype(np.float32))),
+            "bias": jnp.zeros(cout),
+        }
+        cin = cout
+        conv_i += 1
+        if conv_i >= num_convs:
+            break
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50
+# ---------------------------------------------------------------------------
+
+RESNET50_BLOCKS = (3, 4, 6, 3)
+
+
+def convert_resnet50(sd: Mapping) -> dict:
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+
+    def bn(name):
+        return {
+            "scale": jnp.asarray(sd[name + ".weight"]),
+            "bias": jnp.asarray(sd[name + ".bias"]),
+            "mean": jnp.asarray(sd[name + ".running_mean"]),
+            "var": jnp.asarray(sd[name + ".running_var"]),
+        }
+
+    def conv(name):
+        return jnp.asarray(conv_kernel(np.asarray(sd[name + ".weight"])))
+
+    params = {"conv1": conv("conv1"), "bn1": bn("bn1")}
+    for li, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for bi in range(n_blocks):
+            base = f"layer{li}.{bi}"
+            block = {}
+            for ci in (1, 2, 3):
+                block[f"conv{ci}"] = conv(f"{base}.conv{ci}")
+                block[f"bn{ci}"] = bn(f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                block["ds_conv"] = conv(f"{base}.downsample.0")
+                block["ds_bn"] = bn(f"{base}.downsample.1")
+            params[f"layer{li}_{bi}"] = block
+    params["fc"] = {
+        "weight": jnp.asarray(linear_weight(np.asarray(sd["fc.weight"]))),
+        "bias": jnp.asarray(sd["fc.bias"]),
+    }
+    return params
+
+
+def _bn(x, p, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+
+
+def _bottleneck(p, x, stride):
+    h = jax.nn.relu(_bn(conv2d(x, p["conv1"], padding=0), p["bn1"]))
+    h = jax.nn.relu(_bn(conv2d(h, p["conv2"], stride=stride, padding=1),
+                        p["bn2"]))
+    h = _bn(conv2d(h, p["conv3"], padding=0), p["bn3"])
+    if "ds_conv" in p:
+        x = _bn(conv2d(x, p["ds_conv"], stride=stride, padding=0), p["ds_bn"])
+    return jax.nn.relu(x + h)
+
+
+def resnet50_logits(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x [B,H,W,3] (ImageNet-normalized) -> logits [B, 1000]."""
+    h = conv2d(x, params["conv1"], stride=2, padding=3)
+    h = jax.nn.relu(_bn(h, params["bn1"]))
+    h = max_pool(h, window=3, stride=2, padding=1)
+    for li, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for bi in range(n_blocks):
+            stride = 2 if (bi == 0 and li > 1) else 1
+            h = _bottleneck(params[f"layer{li}_{bi}"], h, stride)
+    h = h.mean(axis=(1, 2))
+    return h @ params["fc"]["weight"] + params["fc"]["bias"]
+
+
+def preprocess_imagenet(images: np.ndarray, size: int = 224) -> jnp.ndarray:
+    """uint8 [B,H,W,3] -> normalized float (resize 256 + center crop 224)."""
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    b, h, w, _ = x.shape
+    short = min(h, w)
+    scale = 256 / short if size == 224 else size / short
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[:, top:top + size, left:left + size]
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
