@@ -1,0 +1,95 @@
+"""FLUX pipeline tests: packing round-trip + tiny end-to-end generation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uce_tpu.diffusion import pipeline_flux as pf
+from uce_tpu.models import clip_text, flux as flux_mod, t5 as t5_mod
+from uce_tpu.models import vae as vae_mod
+from tests.helpers import ToyTokenizer
+
+
+def test_pack_unpack_roundtrip(rng):
+    lat = jnp.asarray(rng.standard_normal((2, 8, 12, 4)), jnp.float32)
+    packed = pf.pack_latents(lat)
+    assert packed.shape == (2, 4 * 6, 16)
+    back = pf.unpack_latents(packed, 8, 12)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(lat))
+
+
+def test_img_ids_grid():
+    ids = pf.make_img_ids(8, 12)
+    assert ids.shape == (24, 3)
+    assert (ids[:, 0] == 0).all()
+    assert ids[:, 1].max() == 3 and ids[:, 2].max() == 5
+    assert ids[7][1] == 1 and ids[7][2] == 1  # row-major (y, x)
+
+
+def test_shift_mu_endpoints():
+    assert abs(pf.compute_shift_mu(256) - 0.5) < 1e-9
+    assert abs(pf.compute_shift_mu(4096) - 1.15) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def tiny_flux_pipe():
+    tcfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=1, num_single_layers=1,
+        attention_head_dim=8, num_attention_heads=4,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    t5cfg = t5_mod.T5Config(
+        vocab_size=99, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16)
+    ccfg = clip_text.CLIPTextConfig(
+        vocab_size=99, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=16, eos_token_id=98)
+    vcfg = vae_mod.VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                             norm_num_groups=4, latent_channels=4,
+                             scaling_factor=0.3611, shift_factor=0.1159)
+    # larger init scale so text-stream influence clears uint8 quantization
+    return pf.FluxPipeline(
+        transformer_params=flux_mod.init_params(tcfg, 0, scale=0.3),
+        transformer_config=tcfg,
+        t5_params=t5_mod.init_params(np.random.default_rng(1), t5cfg),
+        t5_config=t5cfg, t5_tokenizer=ToyTokenizer(),
+        clip_params=clip_text.init_params(np.random.default_rng(2), ccfg),
+        clip_config=ccfg, clip_tokenizer=ToyTokenizer(),
+        vae_params=vae_mod.init_params(vcfg, 3),
+        vae_config=vcfg,
+        scheduler_config={"_class_name": "FlowMatchEulerDiscreteScheduler",
+                          "shift": 1.0},
+        dtype=jnp.float32, max_sequence_length=16,
+    )
+
+
+def test_flux_generation(tiny_flux_pipe):
+    imgs = tiny_flux_pipe("a cat on mars", num_inference_steps=2, seed=4,
+                          height=16, width=16)
+    assert imgs.shape == (1, 16, 16, 3) and imgs.dtype == np.uint8
+    again = tiny_flux_pipe("a cat on mars", num_inference_steps=2, seed=4,
+                           height=16, width=16)
+    np.testing.assert_array_equal(imgs, again)
+    other = tiny_flux_pipe("a dog", num_inference_steps=2, seed=4,
+                           height=16, width=16)
+    assert (imgs != other).any()
+
+
+def test_flux_edit_changes_generation(tiny_flux_pipe, tmp_path):
+    base = tiny_flux_pipe("van gogh style", num_inference_steps=2, seed=9,
+                          height=16, width=16)
+    # fabricate a context_embedder edit artifact and overlay it
+    from safetensors.numpy import save_file
+
+    d_in = tiny_flux_pipe.transformer_config.joint_attention_dim
+    d_out = tiny_flux_pipe.transformer_config.inner_dim
+    rng = np.random.default_rng(0)
+    save_file({"context_embedder.weight":
+               (rng.standard_normal((d_out, d_in)) * 0.02).astype(np.float32)},
+              str(tmp_path / "edit.safetensors"))
+    tiny_flux_pipe.load_uce_edits(str(tmp_path / "edit.safetensors"))
+    edited = tiny_flux_pipe("van gogh style", num_inference_steps=2, seed=9,
+                            height=16, width=16)
+    assert (base != edited).any()

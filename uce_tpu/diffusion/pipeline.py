@@ -36,6 +36,14 @@ class SDPipeline:
     vae_config: vae_mod.VAEConfig
     scheduler_config: dict
     dtype: object = jnp.float32
+    # SDXL second encoder (None for SD v1/v2)
+    text_params_2: dict | None = None
+    text_config_2: clip_text.CLIPTextConfig | None = None
+    tokenizer_2: object | None = None
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.text_params_2 is not None
 
     # ---------------------------------------------------------------- load
     @classmethod
@@ -66,6 +74,10 @@ class SDPipeline:
             vae_params=unet_mod.cast_params(vparams, dtype),
             vae_config=vcfg, scheduler_config=scfg, dtype=dtype,
         )
+        if os.path.isdir(os.path.join(model_dir, "text_encoder_2")):
+            pipe.text_params_2, pipe.text_config_2 = load_text_encoder(
+                model_dir, "text_encoder_2")
+            pipe.tokenizer_2 = load_tokenizer(model_dir, "tokenizer_2")
         return pipe
 
     # --------------------------------------------------------------- edits
@@ -78,12 +90,47 @@ class SDPipeline:
 
     # ------------------------------------------------------------- encode
     def encode_prompts(self, prompts: Sequence[str]):
+        if self.is_sdxl:
+            return self.encode_prompts_sdxl(prompts)[0]
         ids, _ = emb.tokenize_batch(
             self.tokenizer, list(prompts),
             self.text_config.max_position_embeddings)
         last_hidden, _, _ = clip_text.encode_tokens(
             self.text_params, jnp.asarray(ids), self.text_config)
         return last_hidden.astype(self.dtype)
+
+    def encode_prompts_sdxl(self, prompts: Sequence[str]):
+        """diffusers SDXL encode_prompt: concat of both encoders'
+        penultimate hidden states [B, 77, 2048] + encoder-2 pooled
+        projection [B, 1280]."""
+        parts = []
+        pooled = None
+        for params, config, tokenizer in (
+            (self.text_params, self.text_config, self.tokenizer),
+            (self.text_params_2, self.text_config_2, self.tokenizer_2),
+        ):
+            ids, _ = emb.tokenize_batch(
+                tokenizer, list(prompts), config.max_position_embeddings)
+            _, pool, hiddens = clip_text.encode_tokens(
+                params, jnp.asarray(ids), config, output_hidden_states=True)
+            parts.append(hiddens[-2])
+            pooled = pool  # encoder 2 wins (overwritten on 2nd pass)
+        context = jnp.concatenate(parts, axis=-1).astype(self.dtype)
+        return context, pooled.astype(self.dtype)
+
+    def _sdxl_added_cond(self, prompts, bsz, height, width, n_branches):
+        """text_embeds (pooled, uncond first) + time_ids [h,w,0,0,h,w]."""
+        _, pooled_cond = self.encode_prompts_sdxl(prompts)
+        _, pooled_uncond = self.encode_prompts_sdxl([""] * bsz)
+        text_embeds = jnp.concatenate([pooled_uncond, pooled_cond], axis=0)
+        if n_branches > 2:  # extra guidance branches reuse the cond pooled
+            extra = jnp.concatenate(
+                [pooled_cond] * (n_branches - 2), axis=0)
+            text_embeds = jnp.concatenate([text_embeds, extra], axis=0)
+        time_ids = jnp.tile(
+            jnp.asarray([height, width, 0, 0, height, width], jnp.float32),
+            (n_branches * bsz, 1))
+        return {"text_embeds": text_embeds, "time_ids": time_ids}
 
     # ----------------------------------------------------------- generate
     def __call__(
@@ -153,9 +200,15 @@ class SDPipeline:
         sld_cfg = None
         if mode == "sld":
             sld_cfg = sld_config or gmod.SLDConfig()
+        eff_mode = "cfg" if mode == "debias_vl" else mode
+        added_cond = None
+        if self.is_sdxl:
+            n_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[eff_mode]
+            added_cond = self._sdxl_added_cond(
+                prompts, bsz, height, width, n_branches)
         images = _generate_jit(
             self, plan, latents, context, float(guidance_scale),
-            "cfg" if mode == "debias_vl" else mode, sld_cfg)
+            eff_mode, sld_cfg, added_cond)
         return np.asarray(images)
 
 
@@ -166,16 +219,18 @@ def _tree_version(pipe):
 
 @functools.lru_cache(maxsize=16)
 def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
-                       mode, sld_cfg):
+                       mode, sld_cfg, has_added_cond):
     """Build the jitted latents->uint8 function for one static signature."""
     from uce_tpu.diffusion import guidance as gmod
 
     num_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[mode]
 
-    def fn(unet_params, vae_params, plan, latents, context, guidance_scale):
+    def fn(unet_params, vae_params, plan, latents, context, guidance_scale,
+           added_cond):
         def model_fn(lat_in, t):
             return unet_mod.apply(
-                unet_params, lat_in, t, context, unet_config)
+                unet_params, lat_in, t, context, unet_config,
+                added_cond=added_cond if has_added_cond else None)
 
         if mode == "sld":
             final = sampler.denoise(
@@ -208,12 +263,12 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
 
 
 def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
-                  mode: str = "cfg", sld_cfg=None):
+                  mode: str = "cfg", sld_cfg=None, added_cond=None):
     fn = _compiled_generate(
         pipe.unet_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (latents.shape, str(latents.dtype)),
-        mode, sld_cfg,
+        mode, sld_cfg, added_cond is not None,
     )
     return fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
-              jnp.float32(guidance_scale))
+              jnp.float32(guidance_scale), added_cond or {})

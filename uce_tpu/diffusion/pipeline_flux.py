@@ -1,0 +1,244 @@
+"""FLUX.1 text-to-image pipeline (flow matching).
+
+JAX-native equivalent of diffusers' FluxPipeline as exercised by
+``notebooks/inference_flux.ipynb`` (schnell: 4 steps, guidance_scale 0,
+max_sequence_length 256; dev: guidance-distilled with an embedded guidance
+scale, dynamic sigma shifting). The denoising loop is one ``lax.scan`` over
+the FlowMatchEuler plan; latents are 2x2-packed patches with (0, y, x)
+RoPE ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uce_tpu.diffusion import schedulers
+from uce_tpu.edit import embeddings as emb
+from uce_tpu.models import clip_text, flux as flux_mod, t5 as t5_mod
+from uce_tpu.models import unet as unet_mod, vae as vae_mod
+from uce_tpu.models.hf_loader import load_json, load_state_dict
+from uce_tpu.utils import torch_rng
+
+
+def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, C] -> [B, (h/2)(w/2), 4C] 2x2 patch packing."""
+    b, h, w, c = latents.shape
+    x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // 2) * (w // 2), 4 * c)
+
+
+def unpack_latents(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of pack_latents; h, w are the unpacked latent dims."""
+    b, s, c4 = packed.shape
+    c = c4 // 4
+    x = packed.reshape(b, h // 2, w // 2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def make_img_ids(h: int, w: int) -> np.ndarray:
+    """[S, 3] (0, y, x) grid over packed patches."""
+    ids = np.zeros(((h // 2) * (w // 2), 3), np.float64)
+    ids[:, 1] = np.repeat(np.arange(h // 2), w // 2)
+    ids[:, 2] = np.tile(np.arange(w // 2), h // 2)
+    return ids
+
+
+def compute_shift_mu(seq_len: int, base_seq=256, max_seq=4096,
+                     base_shift=0.5, max_shift=1.15) -> float:
+    """FLUX-dev dynamic shifting: mu linear in image sequence length."""
+    m = (max_shift - base_shift) / (max_seq - base_seq)
+    return seq_len * m + (base_shift - m * base_seq)
+
+
+@dataclasses.dataclass
+class FluxPipeline:
+    transformer_params: dict
+    transformer_config: flux_mod.FluxConfig
+    t5_params: dict
+    t5_config: t5_mod.T5Config
+    t5_tokenizer: object
+    clip_params: dict
+    clip_config: clip_text.CLIPTextConfig
+    clip_tokenizer: object
+    vae_params: dict
+    vae_config: vae_mod.VAEConfig
+    scheduler_config: dict
+    dtype: object = jnp.bfloat16
+    max_sequence_length: int = 256
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
+                        max_sequence_length: int | None = None
+                        ) -> "FluxPipeline":
+        from transformers import AutoTokenizer
+
+        tcfg = flux_mod.FluxConfig.from_hf(
+            load_json(os.path.join(model_dir, "transformer", "config.json")))
+        tparams = flux_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "transformer", dtype=np.float32), tcfg)
+        tparams = unet_mod.cast_params(tparams, dtype)
+
+        t5cfg = t5_mod.T5Config.from_hf(
+            load_json(os.path.join(model_dir, "text_encoder_2",
+                                   "config.json")))
+        t5params = t5_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "text_encoder_2", dtype=np.float32),
+            t5cfg)
+        ccfg = clip_text.CLIPTextConfig.from_hf(
+            load_json(os.path.join(model_dir, "text_encoder", "config.json")))
+        cparams = clip_text.convert_hf_state_dict(
+            load_state_dict(model_dir, "text_encoder", dtype=np.float32), ccfg)
+
+        vcfg = vae_mod.VAEConfig.from_hf(
+            load_json(os.path.join(model_dir, "vae", "config.json")))
+        vparams = unet_mod.nest_state_dict(
+            load_state_dict(model_dir, "vae", dtype=np.float32), dtype)
+
+        sp = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+        scfg = (load_json(sp) if os.path.exists(sp)
+                else {"_class_name": "FlowMatchEulerDiscreteScheduler"})
+        if max_sequence_length is None:
+            max_sequence_length = 256 if "schnell" in model_dir else 512
+        return cls(
+            transformer_params=tparams, transformer_config=tcfg,
+            t5_params=t5params, t5_config=t5cfg,
+            t5_tokenizer=AutoTokenizer.from_pretrained(
+                os.path.join(model_dir, "tokenizer_2")),
+            clip_params=cparams, clip_config=ccfg,
+            clip_tokenizer=AutoTokenizer.from_pretrained(
+                os.path.join(model_dir, "tokenizer")),
+            vae_params=vparams, vae_config=vcfg, scheduler_config=scfg,
+            dtype=dtype, max_sequence_length=max_sequence_length,
+        )
+
+    def load_uce_edits(self, safetensors_path: str) -> None:
+        """Overlay UCE-edited text-entry projections (uce_flux_edit.py
+        artifacts: context_embedder / text_embedder.linear_1)."""
+        from safetensors.numpy import load_file
+
+        from uce_tpu.models.layers import linear_weight
+
+        edits = load_file(safetensors_path)
+        p = self.transformer_params
+        for key, v in edits.items():
+            w = jnp.asarray(linear_weight(np.asarray(v, np.float32)))
+            if key == "context_embedder.weight":
+                p["context_embedder"]["weight"] = w.astype(self.dtype)
+            elif key == "time_text_embed.text_embedder.linear_1.weight":
+                p["time_text_embed"]["text_embedder"]["linear_1"]["weight"] \
+                    = w.astype(self.dtype)
+            else:
+                print(f"load_uce_edits: skipped unknown key {key}")
+
+    def encode_prompts(self, prompts: Sequence[str]):
+        ids, mask = emb.tokenize_batch(self.t5_tokenizer, list(prompts),
+                                       self.max_sequence_length)
+        t5_out = t5_mod.encode_tokens(
+            self.t5_params, jnp.asarray(ids), jnp.asarray(mask),
+            self.t5_config)
+        cids, _ = emb.tokenize_batch(self.clip_tokenizer, list(prompts),
+                                     self.clip_config.max_position_embeddings)
+        _, pooled, _ = clip_text.encode_tokens(
+            self.clip_params, jnp.asarray(cids), self.clip_config)
+        return t5_out.astype(self.dtype), pooled.astype(self.dtype)
+
+    def __call__(
+        self,
+        prompt: str | Sequence[str],
+        num_inference_steps: int = 4,
+        guidance_scale: float = 0.0,
+        num_images_per_prompt: int = 1,
+        seed: int = 0,
+        height: int = 1024,
+        width: int = 1024,
+    ) -> np.ndarray:
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
+        bsz = len(prompts)
+        t5_embeds, pooled = self.encode_prompts(prompts)
+
+        vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        lh, lw = height // vae_scale, width // vae_scale
+        lc = self.vae_config.latent_channels
+        latents = jnp.asarray(
+            torch_rng.randn((bsz, lh, lw, lc), seed), self.dtype)
+        packed = pack_latents(latents)
+
+        seq_len = packed.shape[1]
+        use_dyn = self.scheduler_config.get("use_dynamic_shifting", False)
+        plan = schedulers.flow_match_euler_plan(
+            num_inference_steps,
+            shift=self.scheduler_config.get("shift", 1.0),
+            use_dynamic_shifting=use_dyn,
+            mu=compute_shift_mu(
+                seq_len,
+                self.scheduler_config.get("base_image_seq_len", 256),
+                self.scheduler_config.get("max_image_seq_len", 4096),
+                self.scheduler_config.get("base_shift", 0.5),
+                self.scheduler_config.get("max_shift", 1.15),
+            ) if use_dyn else None,
+        )
+        img_ids = make_img_ids(lh, lw)
+        txt_ids = np.zeros((t5_embeds.shape[1], 3))
+
+        images = _flux_generate_jit(
+            self, plan, packed, t5_embeds, pooled,
+            jnp.float32(guidance_scale), img_ids.tobytes(),
+            txt_ids.shape[0], (lh, lw))
+        return np.asarray(images)
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_flux_generate(config, vae_config, plan_key, shape_key,
+                            ids_bytes, s_txt, latent_hw):
+    lh, lw = latent_hw
+    img_ids = np.frombuffer(ids_bytes, np.float64).reshape(-1, 3)
+    txt_ids = np.zeros((s_txt, 3))
+
+    def fn(params, vae_params, plan, packed, t5_embeds, pooled, guidance):
+        sigmas = plan.tables["sigmas"]
+
+        def body(carry, i):
+            lat, _ = carry
+            t = plan.timesteps[i] / 1000.0  # transformer re-scales by 1000
+            v = flux_mod.apply(
+                params, lat, t5_embeds, pooled,
+                jnp.broadcast_to(t, (lat.shape[0],)), img_ids, txt_ids,
+                config,
+                guidance=(jnp.broadcast_to(guidance, (lat.shape[0],))
+                          if config.guidance_embeds else None))
+            new = lat.astype(jnp.float32) + (
+                sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)
+            return (new.astype(lat.dtype), 0.0), None
+
+        (final, _), _ = jax.lax.scan(
+            body, (packed, 0.0), jnp.arange(plan.num_calls))
+        lat = unpack_latents(final, lh, lw).astype(jnp.float32)
+        lat = lat / vae_config.scaling_factor + vae_config.shift_factor
+        imgs = vae_mod.decode(vae_params, lat.astype(packed.dtype),
+                              vae_config)
+        imgs = (imgs.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+        return jnp.round(imgs * 255.0).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+def _flux_generate_jit(pipe, plan, packed, t5_embeds, pooled, guidance,
+                       ids_bytes, s_txt, latent_hw):
+    fn = _compiled_flux_generate(
+        pipe.transformer_config, pipe.vae_config,
+        (plan.kind, plan.num_calls),
+        (packed.shape, str(packed.dtype)),
+        ids_bytes, s_txt, latent_hw)
+    return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
+              t5_embeds, pooled, guidance)

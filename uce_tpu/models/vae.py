@@ -26,6 +26,7 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    shift_factor: float = 0.0  # FLUX VAE: 0.1159
 
     @classmethod
     def from_hf(cls, cfg: Mapping) -> "VAEConfig":
@@ -37,6 +38,7 @@ class VAEConfig:
             layers_per_block=cfg.get("layers_per_block", 2),
             norm_num_groups=cfg.get("norm_num_groups", 32),
             scaling_factor=cfg.get("scaling_factor", 0.18215),
+            shift_factor=cfg.get("shift_factor") or 0.0,
         )
 
 

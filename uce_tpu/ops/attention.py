@@ -1,15 +1,16 @@
-"""Attention entry point: Pallas flash attention on TPU, XLA einsum fallback.
+"""Attention entry point used by every model in the zoo.
 
-One function, ``dot_product_attention``, used by every model in the zoo
-(CLIP text/vision, SD UNet, T5, Llama, FLUX DiT). On TPU with MXU-friendly
-shapes it dispatches to the Pallas TPU flash-attention kernel; everywhere
-else (CPU tests, odd head dims) it uses a fused XLA softmax-attention in
-fp32 accumulation.
+Policy (measured on the target chip — see docs/PERF.md):
+  * XLA einsum attention with logits in the compute dtype and an fp32
+    softmax wins at SD shapes: head dims 40/80/160 would need padding to
+    the 128-lane MXU for the Pallas flash kernel, which measured 2.6-3.4x
+    slower than XLA at seq 4096 despite avoiding the logits
+    materialization.
+  * The Pallas flash kernel remains available (``impl='flash'``) for
+    lane-aligned head dims (FLUX: 128) and long sequences.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,32 +24,41 @@ def _xla_attention(
     causal: bool,
     scale: float,
 ) -> jnp.ndarray:
-    """Reference attention: q,k,v [B, H, T, Dh] -> [B, H, Tq, Dh]."""
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    """Reference attention: q,k,v [B, H, T, Dh] -> [B, H, Tq, Dh].
+
+    Logits are computed in the input dtype (bf16 matmul on the MXU, ~25%
+    faster than fp32 accumulation at SD shapes); the softmax itself runs in
+    fp32 with max subtraction, which keeps bf16 logits numerically safe.
+    """
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(scale, q.dtype)
+    logits = logits.astype(jnp.float32)
     if causal:
         tq, tk = q.shape[-2], k.shape[-2]
         causal_mask = jnp.tril(jnp.ones((tq, tk), dtype=bool), k=tk - tq)
-        logits = jnp.where(causal_mask[None, None], logits, jnp.finfo(jnp.float32).min)
+        logits = jnp.where(causal_mask[None, None], logits,
+                           jnp.finfo(jnp.float32).min)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     return out.astype(q.dtype)
 
 
-def _flash_supported(q, k, v, mask, causal) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    if mask is not None:
-        return False
-    head_dim = q.shape[-1]
-    # Pallas flash kernel wants lane-aligned head dims and longish sequences.
-    return head_dim % 128 == 0 and q.shape[-2] >= 128 and k.shape[-2] >= 128
+def _flash_attention(q, k, v, scale: float) -> jnp.ndarray:
+    """Pallas TPU flash kernel; pads the head dim to the 128 lane width."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    d = q.shape[-1]
+    target = ((d + 127) // 128) * 128
+    if target != d:
+        pad = [(0, 0)] * 3 + [(0, target - d)]
+        q = jnp.pad(q * jnp.asarray(scale, q.dtype), pad)
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        return flash_attention(q, k, v, causal=False, sm_scale=1.0)[..., :d]
+    return flash_attention(q * jnp.asarray(scale, q.dtype), k, v,
+                           causal=False, sm_scale=1.0)
 
 
 def dot_product_attention(
@@ -59,23 +69,21 @@ def dot_product_attention(
     mask: jnp.ndarray | None = None,
     causal: bool = False,
     scale: float | None = None,
+    impl: str = "xla",
     force_xla: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention over [B, H, T, Dh] tensors.
 
     mask: optional boolean [B, 1|H, Tq, Tk]; True = attend.
+    impl: 'xla' (default, measured fastest at SD shapes) or 'flash'
+    (Pallas kernel; only for mask-free non-causal self-attention).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if not force_xla and _flash_supported(q, k, v, mask, causal):
+    if (impl == "flash" and not force_xla and mask is None and not causal
+            and jax.default_backend() == "tpu"):
         try:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention,
-            )
-
-            return flash_attention(
-                q * scale, k, v, causal=causal
-            ).astype(q.dtype)
-        except Exception:  # pragma: no cover - kernel shape corner cases
+            return _flash_attention(q, k, v, scale).astype(q.dtype)
+        except Exception:  # pragma: no cover - kernel corner cases
             pass
     return _xla_attention(q, k, v, mask, causal, scale)
