@@ -35,6 +35,8 @@ def register_cli(sub) -> None:
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--snapshot_every", type=int, default=None,
                    help="save intermediate safetensors every N iterations")
+    p.add_argument("--telemetry_path", type=str, default=None,
+                   help="CSV to record per-iteration observed/ratio values")
     p.set_defaults(func=_cmd)
 
 
@@ -77,5 +79,6 @@ def _cmd(args) -> int:
     run_debias(pipe, clip_model, edit_concepts, debias_concepts,
                preserve_concepts, settings=settings, save_dir=args.save_dir,
                exp_name=args.exp_name, image_size=args.image_size,
-               snapshot_every=args.snapshot_every)
+               snapshot_every=args.snapshot_every,
+               telemetry_path=args.telemetry_path)
     return 0

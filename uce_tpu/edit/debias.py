@@ -138,6 +138,7 @@ def run_debias(
     image_size: int = 512,
     snapshot_every: int | None = None,
     verbose: bool = True,
+    telemetry_path: str | None = None,
 ):
     """On-device closed loop for SD pipelines.
 
@@ -192,10 +193,19 @@ def run_debias(
                 observed[ci, ai] = float((pred == ai).mean())
         return observed
 
+    telemetry = None
+    if telemetry_path:
+        from uce_tpu.utils.observability import DebiasTelemetry
+
+        telemetry = DebiasTelemetry(telemetry_path, edit_concepts,
+                                    debias_concepts)
+
     def on_iteration(iteration, observed, ratios):
         if verbose:
             print(f"debias iter {iteration}: observed={observed.tolist()} "
                   f"ratio_diff={ratios.tolist()}")
+        if telemetry is not None:
+            telemetry.record(iteration, observed, ratios)
         if snapshot_every and save_dir and (iteration + 1) % snapshot_every == 0:
             save_safetensors(solve_fn_weights_cache[0], os.path.join(
                 save_dir, f"{exp_name}_iter{iteration}.safetensors"))

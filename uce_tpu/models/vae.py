@@ -65,7 +65,7 @@ def _attn(p, x, groups):
     q = linear(y, p["to_q"]["weight"], p["to_q"]["bias"])[:, None]
     k = linear(y, p["to_k"]["weight"], p["to_k"]["bias"])[:, None]
     v = linear(y, p["to_v"]["weight"], p["to_v"]["bias"])[:, None]
-    out = dot_product_attention(q, k, v)[:, 0]
+    out = dot_product_attention(q, k, v, impl="auto")[:, 0]
     out = linear(out, p["to_out"]["0"]["weight"], p["to_out"]["0"]["bias"])
     return res + out.reshape(b, h, w, c)
 

@@ -44,6 +44,22 @@ def _xla_attention(
     return out.astype(q.dtype)
 
 
+def _flash_block_sizes(seq: int):
+    """Measured-optimal blocks on the target chip: bq=512/bk=1024 runs the
+    s=4096, d=40->128 self-attention in 3.4 ms vs 10.3 ms for XLA and
+    34 ms for the kernel's default blocks."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = min(512, seq)
+    bk = min(1024, seq)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_q_dkv=bq, block_k_dkv=bk,
+        block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk,
+    )
+
+
 def _flash_attention(q, k, v, scale: float) -> jnp.ndarray:
     """Pallas TPU flash kernel; pads the head dim to the 128 lane width."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -52,13 +68,15 @@ def _flash_attention(q, k, v, scale: float) -> jnp.ndarray:
 
     d = q.shape[-1]
     target = ((d + 127) // 128) * 128
+    blocks = _flash_block_sizes(k.shape[-2])
     if target != d:
         pad = [(0, 0)] * 3 + [(0, target - d)]
         q = jnp.pad(q * jnp.asarray(scale, q.dtype), pad)
         k, v = jnp.pad(k, pad), jnp.pad(v, pad)
-        return flash_attention(q, k, v, causal=False, sm_scale=1.0)[..., :d]
+        return flash_attention(q, k, v, causal=False, sm_scale=1.0,
+                               block_sizes=blocks)[..., :d]
     return flash_attention(q * jnp.asarray(scale, q.dtype), k, v,
-                           causal=False, sm_scale=1.0)
+                           causal=False, sm_scale=1.0, block_sizes=blocks)
 
 
 def dot_product_attention(
@@ -75,12 +93,19 @@ def dot_product_attention(
     """Multi-head attention over [B, H, T, Dh] tensors.
 
     mask: optional boolean [B, 1|H, Tq, Tk]; True = attend.
-    impl: 'xla' (default, measured fastest at SD shapes) or 'flash'
-    (Pallas kernel; only for mask-free non-causal self-attention).
+    impl: 'xla' (default), 'flash' (always use the Pallas kernel), or
+    'auto' (tuned-block flash for long mask-free self-attention — measured
+    3x faster than XLA at seq 4096 — XLA otherwise).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if (impl == "flash" and not force_xla and mask is None and not causal
+    import os
+
+    impl = os.environ.get("UCE_ATTN_IMPL", impl)  # experiment override
+    use_flash = impl == "flash" or (
+        impl == "auto" and q.shape[-2] >= 2048 and q.shape[-2] == k.shape[-2]
+    )
+    if (use_flash and not force_xla and mask is None and not causal
             and jax.default_backend() == "tpu"):
         try:
             return _flash_attention(q, k, v, scale).astype(q.dtype)

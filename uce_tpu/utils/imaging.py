@@ -50,5 +50,9 @@ def case_image_path(folder: str, case_number, num: int) -> str:
 
 
 def save_case_images(images: np.ndarray, folder: str, case_number) -> None:
-    for num in range(images.shape[0]):
-        save_png(images[num], case_image_path(folder, case_number, num))
+    """Batch save via the native multithreaded PNG writer (PIL fallback)."""
+    from uce_tpu.utils.native_png import write_png_batch
+
+    paths = [case_image_path(folder, case_number, num)
+             for num in range(images.shape[0])]
+    write_png_batch(np.asarray(images), paths)
