@@ -40,6 +40,8 @@ class SDPipeline:
     text_params_2: dict | None = None
     text_config_2: clip_text.CLIPTextConfig | None = None
     tokenizer_2: object | None = None
+    # optional jax.sharding.Mesh for data-parallel generation fan-out
+    mesh: object | None = None
 
     @property
     def is_sdxl(self) -> bool:
@@ -160,6 +162,15 @@ class SDPipeline:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
+        # per-image seeds (diffusers generator-list semantics): one draw per
+        # seed, repeated across that prompt's samples
+        if isinstance(seed, (int, np.integer)):
+            seeds = [int(seed)] * bsz
+        else:
+            seeds = [int(s) for s in seed
+                     for _ in range(num_images_per_prompt)]
+            if len(seeds) != bsz:
+                raise ValueError("len(seed) must match len(prompt)")
 
         cond = self.encode_prompts(prompts)
         uncond = self.encode_prompts([""] * bsz)
@@ -188,9 +199,15 @@ class SDPipeline:
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
-        latents = jnp.asarray(torch_rng.randn(
-            (bsz, lh, lw, self.unet_config.in_channels), seed
-        ), self.dtype)
+        if len(set(seeds)) == 1 and bsz > 1 and isinstance(seed, (int, np.integer)):
+            # reference batch semantics: one generator for the whole batch
+            lat_np = torch_rng.randn(
+                (bsz, lh, lw, self.unet_config.in_channels), seeds[0])
+        else:
+            lat_np = np.concatenate([
+                torch_rng.randn((1, lh, lw, self.unet_config.in_channels), s)
+                for s in seeds])
+        latents = jnp.asarray(lat_np, self.dtype)
 
         sched_name = scheduler
         plan = (schedulers.make_plan(sched_name, num_inference_steps)
@@ -264,11 +281,44 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
 
 def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
                   mode: str = "cfg", sld_cfg=None, added_cond=None):
+    orig_bsz = latents.shape[0]
+    if pipe.mesh is not None:
+        # data-parallel fan-out: shard the batch over the mesh 'data' axis;
+        # XLA propagates the sharding through the scan (replicated params).
+        # Pad the batch (repeating the last row per guidance branch) to a
+        # multiple of the data axis, slice the images back after.
+        from uce_tpu.parallel.mesh import batch_sharding
+
+        n_data = pipe.mesh.shape["data"]
+        pad = (-orig_bsz) % n_data
+        if pad:
+            n_branches = context.shape[0] // orig_bsz
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[-1:], pad, 0)], 0)
+            ctx_b = context.reshape(n_branches, orig_bsz, *context.shape[1:])
+            ctx_b = jnp.concatenate(
+                [ctx_b, jnp.repeat(ctx_b[:, -1:], pad, 1)], 1)
+            context = ctx_b.reshape(n_branches * (orig_bsz + pad),
+                                    *context.shape[1:])
+            if added_cond:
+                def _pad_branched(v):
+                    vb = v.reshape(n_branches, orig_bsz, *v.shape[1:])
+                    vb = jnp.concatenate(
+                        [vb, jnp.repeat(vb[:, -1:], pad, 1)], 1)
+                    return vb.reshape(n_branches * (orig_bsz + pad),
+                                      *v.shape[1:])
+
+                added_cond = {k: _pad_branched(v)
+                              for k, v in added_cond.items()}
+        sh = batch_sharding(pipe.mesh)
+        latents = jax.device_put(latents, sh)
+        context = jax.device_put(context, sh)
     fn = _compiled_generate(
         pipe.unet_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (latents.shape, str(latents.dtype)),
         mode, sld_cfg, added_cond is not None,
     )
-    return fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
-              jnp.float32(guidance_scale), added_cond or {})
+    out = fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
+             jnp.float32(guidance_scale), added_cond or {})
+    return out[:orig_bsz]

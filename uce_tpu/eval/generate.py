@@ -31,14 +31,29 @@ def generate_images(
     till_case: int = 1_000_000,
     dtype="bfloat16",
     scheduler: str | None = None,
+    batch_rows: int = 1,
+    data_parallel: bool = False,
 ) -> int:
-    """Returns the number of generated cases."""
+    """Returns the number of generated cases.
+
+    batch_rows > 1 fuses that many CSV rows (each with its own seed) into
+    one batched denoise — the embarrassingly-parallel axis of the eval
+    fan-out; with ``data_parallel`` the batch additionally shards over the
+    mesh 'data' axis across all local devices.
+    """
     import jax.numpy as jnp
 
     jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(dtype)]
     pipe = SDPipeline.from_pretrained(model_name, dtype=jdtype)
     if uce_model_path:
         pipe.load_uce_edits(uce_model_path)
+    if data_parallel:
+        import jax
+
+        from uce_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            pipe.mesh = make_mesh()
 
     df = pd.read_csv(prompts_path)
     folder = os.path.join(
@@ -48,22 +63,25 @@ def generate_images(
     )
     os.makedirs(folder, exist_ok=True)
 
+    rows = [row for _, row in df.iterrows()
+            if from_case <= row.case_number <= till_case]
     n = 0
-    for _, row in df.iterrows():
-        case_number = row.case_number
-        if not (from_case <= case_number <= till_case):
-            continue
+    for i in range(0, len(rows), max(batch_rows, 1)):
+        chunk = rows[i:i + max(batch_rows, 1)]
         images = pipe(
-            str(row.prompt),
+            [str(r.prompt) for r in chunk],
             num_inference_steps=ddim_steps,
             guidance_scale=guidance_scale,
             num_images_per_prompt=num_samples,
-            seed=int(row.evaluation_seed),
+            seed=[int(r.evaluation_seed) for r in chunk],
             height=image_size, width=image_size,
             scheduler=scheduler,
         )
-        save_case_images(images, folder, case_number)
-        n += 1
+        for j, r in enumerate(chunk):
+            save_case_images(
+                images[j * num_samples:(j + 1) * num_samples],
+                folder, r.case_number)
+        n += len(chunk)
     return n
 
 
@@ -87,6 +105,10 @@ def register_cli(sub) -> None:
                    default="bfloat16")
     p.add_argument("--scheduler",
                    choices=["ddim", "pndm", "lms", "euler"], default=None)
+    p.add_argument("--batch_rows", type=int, default=1,
+                   help="fuse N CSV rows into one batched denoise")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all local devices")
     p.set_defaults(func=_cmd)
 
 
@@ -100,6 +122,7 @@ def _cmd(args) -> int:
         image_size=args.image_size, ddim_steps=args.ddim_steps,
         num_samples=args.num_samples, from_case=args.from_case,
         till_case=args.till_case, dtype=args.dtype, scheduler=args.scheduler,
+        batch_rows=args.batch_rows, data_parallel=args.data_parallel,
     )
     print(f"generated {n} cases")
     return 0
