@@ -130,7 +130,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test mode (tiny model, CPU-friendly)")
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)  # measured sweet spot
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--skip_edit", action="store_true")
     args = ap.parse_args()

@@ -61,6 +61,7 @@ class Plan:
     init_noise_sigma: float
     tables: dict
     history_slots: int = 0
+    prediction_type: str = "epsilon"  # or "v_prediction" (SD 2.x-768)
 
     def init_carry(self, sample_shape, dtype=jnp.float32):
         if self.history_slots == 0:
@@ -80,17 +81,18 @@ class Plan:
 def _plan_flatten(p: "Plan"):
     table_keys = tuple(sorted(p.tables))
     children = (p.timesteps,) + tuple(p.tables[k] for k in table_keys)
-    aux = (p.kind, p.num_calls, p.init_noise_sigma, p.history_slots, table_keys)
+    aux = (p.kind, p.num_calls, p.init_noise_sigma, p.history_slots,
+           table_keys, p.prediction_type)
     return children, aux
 
 
 def _plan_unflatten(aux, children):
-    kind, num_calls, init_sigma, slots, table_keys = aux
+    kind, num_calls, init_sigma, slots, table_keys, pred_type = aux
     return Plan(
         kind=kind, num_calls=num_calls, timesteps=children[0],
         init_noise_sigma=init_sigma,
         tables=dict(zip(table_keys, children[1:])),
-        history_slots=slots,
+        history_slots=slots, prediction_type=pred_type,
     )
 
 
@@ -103,7 +105,7 @@ jax.tree_util.register_pytree_node(Plan, _plan_flatten, _plan_unflatten)
 
 def ddim_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
               beta_end=0.012, beta_schedule="scaled_linear", steps_offset=1,
-              set_alpha_to_one=False) -> Plan:
+              set_alpha_to_one=False, prediction_type="epsilon") -> Plan:
     betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = np.cumprod(1.0 - betas)
     ts = _leading_timesteps(num_train_timesteps, num_steps, steps_offset)
@@ -119,10 +121,33 @@ def ddim_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
             "alpha_t": jnp.asarray(alpha_t, jnp.float32),
             "alpha_prev": jnp.asarray(alpha_prev, jnp.float32),
         },
+        prediction_type=prediction_type,
     )
 
 
+def _to_eps_alpha(plan, model_output, i, sample):
+    """v_prediction -> epsilon at the call's alpha (diffusers conversion):
+    eps = sqrt(a_t) v + sqrt(1 - a_t) x."""
+    if plan.prediction_type != "v_prediction":
+        return model_output
+    a_t = plan.tables["alpha_t"][i]
+    return jnp.sqrt(a_t) * model_output + jnp.sqrt(1.0 - a_t) * sample
+
+
+def _sigma_derivative(plan, model_output, i, sample):
+    """Derivative for sigma-space steps; eps-pred derivative IS eps, the
+    v-pred derivative comes from pred_x0 = -sigma v/sqrt(s^2+1) + x/(s^2+1)
+    (diffusers EulerDiscrete/LMSDiscrete)."""
+    if plan.prediction_type != "v_prediction":
+        return model_output
+    sigma = plan.tables["sigmas"][i]
+    pred_x0 = (model_output * (-sigma / jnp.sqrt(sigma ** 2 + 1.0))
+               + sample / (sigma ** 2 + 1.0))
+    return (sample - pred_x0) / sigma
+
+
 def _ddim_step(plan, eps, i, sample, carry):
+    eps = _to_eps_alpha(plan, eps, i, sample)
     a_t = plan.tables["alpha_t"][i]
     a_prev = plan.tables["alpha_prev"][i]
     x0 = (sample - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
@@ -136,7 +161,8 @@ def _ddim_step(plan, eps, i, sample, carry):
 
 def pndm_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
               beta_end=0.012, beta_schedule="scaled_linear",
-              steps_offset=1, set_alpha_to_one=False) -> Plan:
+              steps_offset=1, set_alpha_to_one=False,
+              prediction_type="epsilon") -> Plan:
     betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = np.cumprod(1.0 - betas)
     ratio = num_train_timesteps // num_steps
@@ -191,6 +217,7 @@ def pndm_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
             "use_held": jnp.asarray(use_held),
         },
         history_slots=4,  # 3 eps history + 1 held sample
+        prediction_type=prediction_type,
     )
 
 
@@ -198,6 +225,7 @@ def _pndm_step(plan, eps, i, sample, carry):
     t = plan.tables
     hist, held = carry[:3], carry[3]
     sample = jnp.where(t["use_held"][i], held, sample)
+    eps = _to_eps_alpha(plan, eps, i, sample)
     c = t["coeffs"][i]
     eps_eff = c[0] * eps + c[1] * hist[0] + c[2] * hist[1] + c[3] * hist[2]
 
@@ -221,7 +249,8 @@ def _pndm_step(plan, eps, i, sample, carry):
 # ---------------------------------------------------------------------------
 
 def lms_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
-             beta_end=0.012, beta_schedule="scaled_linear", order=4) -> Plan:
+             beta_end=0.012, beta_schedule="scaled_linear", order=4,
+             prediction_type="epsilon") -> Plan:
     betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = np.cumprod(1.0 - betas)
     sig_all = np.sqrt((1 - acp) / acp)
@@ -257,6 +286,7 @@ def lms_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
             "coeffs": jnp.asarray(coeffs, jnp.float32),
         },
         history_slots=order,
+        prediction_type=prediction_type,
     )
 
 
@@ -264,7 +294,7 @@ def _lms_step(plan, eps, i, sample, carry):
     t = plan.tables
     sigma = t["sigmas"][i]
     # eps-prediction: pred_x0 = sample - sigma*eps; derivative = eps
-    derivative = eps
+    derivative = _sigma_derivative(plan, eps, i, sample)
     hist = jnp.concatenate([derivative[None], carry[:-1]], axis=0)
     c = t["coeffs"][i]  # [order]
     delta = jnp.tensordot(c, hist, axes=1)
@@ -278,7 +308,8 @@ def _lms_step(plan, eps, i, sample, carry):
 
 def euler_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
                beta_end=0.012, beta_schedule="scaled_linear",
-               timestep_spacing="leading", steps_offset=1) -> Plan:
+               timestep_spacing="leading", steps_offset=1,
+               prediction_type="epsilon") -> Plan:
     betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = np.cumprod(1.0 - betas)
     sig_all = np.sqrt((1 - acp) / acp)
@@ -304,12 +335,14 @@ def euler_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
                                if timestep_spacing in ("linspace", "trailing")
                                else np.sqrt(sigmas.max() ** 2 + 1)),
         tables={"sigmas": jnp.asarray(sigmas, jnp.float32)},
+        prediction_type=prediction_type,
     )
 
 
 def _euler_step(plan, eps, i, sample, carry):
     sigmas = plan.tables["sigmas"]
-    return sample + (sigmas[i + 1] - sigmas[i]) * eps, carry
+    d = _sigma_derivative(plan, eps, i, sample)
+    return sample + (sigmas[i + 1] - sigmas[i]) * d, carry
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +402,7 @@ def plan_from_hf(cfg: Mapping, num_steps: int) -> Plan:
         beta_start=cfg.get("beta_start", 0.00085),
         beta_end=cfg.get("beta_end", 0.012),
         beta_schedule=cfg.get("beta_schedule", "scaled_linear"),
+        prediction_type=cfg.get("prediction_type", "epsilon"),
     )
     if cls == "PNDMScheduler":
         return pndm_plan(num_steps, steps_offset=cfg.get("steps_offset", 1),
