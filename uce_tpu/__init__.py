@@ -22,7 +22,25 @@ __version__ = "0.1.0"
 
 from uce_tpu.ops.solver import (  # noqa: F401
     uce_edit_matrix,
+    uce_edit_matrix_batch,
     uce_solve_layer,
     uce_solve_stacked,
     apply_edit_matrix,
 )
+
+
+def __getattr__(name):
+    # lazy re-exports (keep `import uce_tpu` light for solver-only use)
+    if name == "SDPipeline":
+        from uce_tpu.diffusion.pipeline import SDPipeline
+
+        return SDPipeline
+    if name == "FluxPipeline":
+        from uce_tpu.diffusion.pipeline_flux import FluxPipeline
+
+        return FluxPipeline
+    if name == "CLIPModel":
+        from uce_tpu.models.clip import CLIPModel
+
+        return CLIPModel
+    raise AttributeError(name)

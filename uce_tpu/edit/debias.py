@@ -177,20 +177,27 @@ def run_debias(
     labels = [hypothesis_template.format(c) for c in debias_concepts]
 
     def measure_fn(weights) -> np.ndarray:
+        """One batched denoise for ALL concepts x samples, one batched
+        zero-shot classify — the whole measurement is two device programs
+        (the reference loops concepts with 10-image pipeline calls each,
+        uce_sd_debias.py:21-28)."""
         pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights)
+        n_img = settings.num_images_per_prompt
+        images = pipe(
+            list(edit_concepts),
+            num_inference_steps=settings.num_inference_steps,
+            guidance_scale=settings.guidance_scale,
+            num_images_per_prompt=n_img,
+            seed=[hash((c, ci)) % (2 ** 31)
+                  for ci, c in enumerate(edit_concepts)],
+            height=image_size, width=image_size,
+        )
+        pred = np.asarray(clip_model.classify(images, labels))
         observed = np.zeros((len(edit_concepts), len(debias_concepts)))
-        for ci, concept in enumerate(edit_concepts):
-            images = pipe(
-                concept,
-                num_inference_steps=settings.num_inference_steps,
-                guidance_scale=settings.guidance_scale,
-                num_images_per_prompt=settings.num_images_per_prompt,
-                seed=hash((concept, ci)) % (2 ** 31),
-                height=image_size, width=image_size,
-            )
-            pred = clip_model.classify(images, labels)
+        for ci in range(len(edit_concepts)):
+            block = pred[ci * n_img:(ci + 1) * n_img]
             for ai in range(len(debias_concepts)):
-                observed[ci, ai] = float((pred == ai).mean())
+                observed[ci, ai] = float((block == ai).mean())
         return observed
 
     telemetry = None

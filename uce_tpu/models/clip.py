@@ -23,6 +23,14 @@ from uce_tpu.models.hf_loader import stack_layers, to_numpy_state_dict
 from uce_tpu.models.layers import layer_norm
 from uce_tpu.ops.attention import dot_product_attention
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
+def _jit_encode_image(config):
+    return jax.jit(lambda p, x: encode_image(p, x, config))
+
+
 # OpenAI CLIP preprocessing constants
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
@@ -216,7 +224,8 @@ class CLIPModel:
 
     def embed_images(self, images) -> jnp.ndarray:
         pixels = preprocess_images(images, self.vision_config.image_size)
-        return encode_image(self.vision_params, pixels, self.vision_config)
+        return _jit_encode_image(self.vision_config)(
+            self.vision_params, pixels)
 
     def logits_per_image(self, images, texts: Sequence[str]) -> np.ndarray:
         img = self.embed_images(images)
