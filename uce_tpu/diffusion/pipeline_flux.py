@@ -130,15 +130,23 @@ class FluxPipeline:
 
         edits = load_file(safetensors_path)
         p = self.transformer_params
+        slots = {
+            "context_embedder.weight":
+                (p["context_embedder"], "weight"),
+            "time_text_embed.text_embedder.linear_1.weight":
+                (p["time_text_embed"]["text_embedder"]["linear_1"], "weight"),
+        }
         for key, v in edits.items():
-            w = jnp.asarray(linear_weight(np.asarray(v, np.float32)))
-            if key == "context_embedder.weight":
-                p["context_embedder"]["weight"] = w.astype(self.dtype)
-            elif key == "time_text_embed.text_embedder.linear_1.weight":
-                p["time_text_embed"]["text_embedder"]["linear_1"]["weight"] \
-                    = w.astype(self.dtype)
-            else:
+            if key not in slots:
                 print(f"load_uce_edits: skipped unknown key {key}")
+                continue
+            node, leaf = slots[key]
+            w = jnp.asarray(linear_weight(np.asarray(v, np.float32)))
+            if w.shape != node[leaf].shape:
+                raise ValueError(
+                    f"edit for '{key}' has shape {v.shape}, model expects "
+                    f"{tuple(reversed(node[leaf].shape))}")
+            node[leaf] = w.astype(self.dtype)
 
     def encode_prompts(self, prompts: Sequence[str]):
         ids, mask = emb.tokenize_batch(self.t5_tokenizer, list(prompts),
