@@ -33,6 +33,7 @@ def generate_images(
     scheduler: str | None = None,
     batch_rows: int = 1,
     data_parallel: bool = False,
+    exp_name: str | None = None,
 ) -> int:
     """Returns the number of generated cases.
 
@@ -58,8 +59,9 @@ def generate_images(
     df = pd.read_csv(prompts_path)
     folder = os.path.join(
         save_path,
-        os.path.basename(uce_model_path).replace(".safetensors", "")
-        if uce_model_path else "original",
+        exp_name if exp_name else
+        (os.path.basename(uce_model_path).replace(".safetensors", "")
+         if uce_model_path else "original"),
     )
     os.makedirs(folder, exist_ok=True)
 
@@ -88,17 +90,23 @@ def generate_images(
 def register_cli(sub) -> None:
     p = sub.add_parser("generate",
                        help="CSV prompts -> PNG images (eval protocol)")
-    p.add_argument("--model_name", type=str, required=True,
+    p.add_argument("--model_id", "--model_name", dest="model_name",
+                   type=str, required=True,
                    help="local HF snapshot directory")
     p.add_argument("--prompts_path", type=str, required=True)
-    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, default="../uce_results/")
     p.add_argument("--uce_model_path", type=str, default=None,
                    help="UCE safetensors overlay")
+    p.add_argument("--exp_name", type=str, default=None,
+                   help="output folder name (defaults to the UCE artifact "
+                        "name or 'original')")
     p.add_argument("--device", type=str, default=None)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--image_size", type=int, default=512)
-    p.add_argument("--ddim_steps", type=int, default=50)
-    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--num_inference_steps", "--ddim_steps",
+                   dest="ddim_steps", type=int, default=50)
+    p.add_argument("--num_images_per_prompt", "--num_samples",
+                   dest="num_samples", type=int, default=1)
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
@@ -123,6 +131,7 @@ def _cmd(args) -> int:
         num_samples=args.num_samples, from_case=args.from_case,
         till_case=args.till_case, dtype=args.dtype, scheduler=args.scheduler,
         batch_rows=args.batch_rows, data_parallel=args.data_parallel,
+        exp_name=args.exp_name,
     )
     print(f"generated {n} cases")
     return 0
