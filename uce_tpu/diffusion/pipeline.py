@@ -229,11 +229,6 @@ class SDPipeline:
         return np.asarray(images)
 
 
-def _tree_version(pipe):
-    # jit cache key: identity of the parameter trees
-    return (id(pipe.unet_params), id(pipe.vae_params))
-
-
 @functools.lru_cache(maxsize=16)
 def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
                        mode, sld_cfg, has_added_cond):
