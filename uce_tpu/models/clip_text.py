@@ -13,6 +13,7 @@ text projection (SDXL's second encoder).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Mapping
 
 import jax
@@ -159,6 +160,7 @@ def init_params(rng: np.random.Generator, config: CLIPTextConfig) -> dict:
     return params
 
 
+@functools.partial(jax.jit, static_argnames=("config", "output_hidden_states"))
 def encode_tokens(
     params: dict,
     input_ids: jnp.ndarray,

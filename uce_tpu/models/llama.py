@@ -13,6 +13,7 @@ Supports GQA, RoPE with the llama3 frequency scaling, RMSNorm, SwiGLU.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Mapping
 
 import jax
@@ -32,7 +33,9 @@ class LlamaConfig:
     num_key_value_heads: int = 8
     rms_norm_eps: float = 1e-5
     rope_theta: float = 500000.0
-    rope_scaling: dict | None = None
+    # stored as a hashable tuple of (key, value) pairs so the config can be
+    # a static jit argument; rope_frequencies reconstructs the dict
+    rope_scaling: tuple | None = None
     head_dim: int | None = None
 
     @classmethod
@@ -47,7 +50,8 @@ class LlamaConfig:
                 "num_key_value_heads", cfg["num_attention_heads"]),
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
             rope_theta=cfg.get("rope_theta", 10000.0),
-            rope_scaling=cfg.get("rope_scaling"),
+            rope_scaling=(tuple(sorted(cfg["rope_scaling"].items()))
+                          if cfg.get("rope_scaling") else None),
             head_dim=cfg.get("head_dim"),
         )
 
@@ -67,6 +71,8 @@ def rope_frequencies(config: LlamaConfig) -> np.ndarray:
     dh = config.dh
     inv = 1.0 / (config.rope_theta ** (np.arange(0, dh, 2, dtype=np.float64) / dh))
     rs = config.rope_scaling
+    if rs is not None and not isinstance(rs, dict):
+        rs = dict(rs)
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         lo, hi = rs["low_freq_factor"], rs["high_freq_factor"]
@@ -120,6 +126,7 @@ def convert_hf_state_dict(state_dict: Mapping, config: LlamaConfig) -> dict:
     })
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def encode_tokens(params: dict, input_ids: jnp.ndarray,
                   attention_mask: jnp.ndarray | None,
                   config: LlamaConfig) -> jnp.ndarray:

@@ -13,6 +13,7 @@ per-concept last-token T5 hidden states via the FLUX pipeline's
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Mapping
 
 import jax
@@ -132,6 +133,7 @@ def convert_hf_state_dict(state_dict: Mapping, config: T5Config) -> dict:
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def encode_tokens(params: dict, input_ids: jnp.ndarray,
                   attention_mask: jnp.ndarray | None,
                   config: T5Config) -> jnp.ndarray:
