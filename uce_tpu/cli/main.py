@@ -45,6 +45,10 @@ def _add_common_edit_flags(p: argparse.ArgumentParser, default_model: str):
                    default="collapsed",
                    help="collapsed: single edit-matrix (fast path); "
                         "general: per-layer batched solve")
+    p.add_argument("--apply_on", choices=["device", "host"],
+                   default="device",
+                   help="where the stacked W@E multiply runs; 'host' avoids "
+                        "weight round-trips on slow host<->device links")
 
 
 def apply_device_flag(device: str | None) -> None:
@@ -76,7 +80,7 @@ def cmd_edit_sd(args) -> int:
         res, edits, guides, preserves,
         erase_scale=args.erase_scale, preserve_scale=args.preserve_scale,
         lamb=args.lamb, save_dir=args.save_dir, exp_name=args.exp_name,
-        method=args.method,
+        method=args.method, apply_on=args.apply_on,
     )
     return 0
 

@@ -93,8 +93,7 @@ def encode_concepts(res: FluxEditResources,
                                    res.max_sequence_length)
     t5_hidden = t5_mod.encode_tokens(
         res.t5_params, jnp.asarray(ids), jnp.asarray(mask), res.t5_config)
-    idx = emb.last_token_indices(mask)
-    t5_embeds = np.asarray(t5_hidden)[np.arange(len(unique)), idx]
+    t5_embeds = emb.gather_last_tokens(t5_hidden, emb.last_token_indices(mask))
 
     ids_c, _ = emb.tokenize_batch(res.clip_tokenizer, unique,
                                   res.clip_config.max_position_embeddings)

@@ -104,17 +104,19 @@ def encode_concepts(res: HiDreamEditResources,
         res.llama_params, jnp.asarray(ids), jnp.asarray(mask),
         res.llama_config)
     # HiDream uses hidden_states[1:] stacked (layer outputs), indexed by
-    # the transformer config's llama_layers.
-    layer_stack = np.asarray(hidden)[1:]
-    idx = emb.last_token_indices(mask)
-    llama_embeds = layer_stack[:, np.arange(len(unique)), idx]  # [L_all, N, d]
+    # the transformer config's llama_layers. Gather on device (the full
+    # [L, N, T, D] stack is hundreds of MB for a real Llama).
+    idx = jnp.asarray(emb.last_token_indices(mask))
+    layer_stack = hidden[1:]
+    llama_embeds = np.asarray(
+        layer_stack[:, jnp.arange(len(unique)), idx])  # [L_all, N, d]
 
     ids_t, mask_t = emb.tokenize_batch(res.t5_tokenizer, unique,
                                        res.max_sequence_length)
     t5_hidden = t5_mod.encode_tokens(
         res.t5_params, jnp.asarray(ids_t), jnp.asarray(mask_t), res.t5_config)
-    idx_t = emb.last_token_indices(mask_t)
-    t5_embeds = np.asarray(t5_hidden)[np.arange(len(unique)), idx_t]
+    t5_embeds = emb.gather_last_tokens(t5_hidden,
+                                       emb.last_token_indices(mask_t))
 
     out = {}
     for i, c in enumerate(unique):

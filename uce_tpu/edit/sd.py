@@ -102,6 +102,7 @@ def erase_from_embeddings(
     preserve_scale: float = 1.0,
     lamb: float = 0.5,
     method: str = "collapsed",
+    apply_on: str = "device",
 ) -> dict[str, np.ndarray]:
     """Solve the edit given precomputed concept embeddings.
 
@@ -109,6 +110,12 @@ def erase_from_embeddings(
     erase guide-outputs are W_old @ c_guide — the reference's construction
     (uce_sd_erase.py:44-53) — which is what makes the collapsed single
     edit-matrix path exact.
+
+    apply_on: where the collapsed W @ E multiply runs. 'device' (default,
+    right for real accelerators with PCIe-class links) ships the stacked
+    weights to the chip; 'host' computes E on-device (a few MB) and does
+    the stacked matmul in NumPy — the fast path on environments where the
+    host<->device link is the bottleneck (docs/PERF.md).
     """
     c_edit = emb.stack_embeds(concept_embeds, edit_concepts)
     c_guide = emb.stack_embeds(concept_embeds, guide_concepts)
@@ -123,7 +130,10 @@ def erase_from_embeddings(
         # One stacked matmul for the whole model: concat rows, multiply, split.
         names = list(targets)
         w_cat = np.concatenate([np.asarray(targets[n], np.float32) for n in names])
-        new_cat = np.asarray(apply_edit_matrix(w_cat, e_mat))
+        if apply_on == "host":
+            new_cat = w_cat @ np.asarray(e_mat)
+        else:
+            new_cat = np.asarray(apply_edit_matrix(w_cat, e_mat))
         out, off = {}, 0
         for n in names:
             rows = targets[n].shape[0]
@@ -168,6 +178,7 @@ def run_erase(
     save_dir: str | None = None,
     exp_name: str = "uce_test",
     method: str = "collapsed",
+    apply_on: str = "device",
 ) -> dict[str, np.ndarray]:
     """Full erase: encode -> solve -> (optionally) export safetensors."""
     start = time.time()
@@ -176,7 +187,7 @@ def run_erase(
     edited = erase_from_embeddings(
         resources.targets, concept_embeds,
         edit_concepts, guide_concepts, preserve_concepts,
-        erase_scale, preserve_scale, lamb, method,
+        erase_scale, preserve_scale, lamb, method, apply_on,
     )
     if save_dir is not None:
         save_safetensors(edited, os.path.join(save_dir, exp_name + ".safetensors"))
