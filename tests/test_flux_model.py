@@ -98,3 +98,39 @@ def test_rope_norm_preserved():
     nx = np.asarray((x.reshape(1, 2, 8, 4, 2) ** 2).sum(-1))
     ny = np.asarray((y.reshape(1, 2, 8, 4, 2) ** 2).sum(-1))
     np.testing.assert_allclose(nx, ny, rtol=1e-5, atol=1e-6)
+
+
+def test_cross_impl_parity_with_torch_mirror():
+    """JAX layer-stacked scans vs independent eager torch implementation
+    on shared weights (see tests/torch_flux_mirror.py)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from tests import torch_flux_mirror as mirror
+    from uce_tpu.models.flux import init_state_dict, convert_hf_state_dict
+
+    cfg = flux_mod.FluxConfig(**{**TINY.__dict__, "guidance_embeds": True,
+                                 "num_layers": 2, "num_single_layers": 2})
+    flat = init_state_dict(cfg, np.random.default_rng(21), scale=0.1)
+    params = convert_hf_state_dict(flat, cfg)
+
+    rng = np.random.default_rng(22)
+    b, s_img, s_txt = 2, 16, 6
+    latents = rng.standard_normal((b, s_img, cfg.in_channels)).astype(np.float32)
+    t5 = rng.standard_normal((b, s_txt, cfg.joint_attention_dim)).astype(np.float32)
+    pooled = rng.standard_normal((b, cfg.pooled_projection_dim)).astype(np.float32)
+    img_ids = np.zeros((s_img, 3))
+    img_ids[:, 1] = np.repeat(np.arange(4), 4)
+    img_ids[:, 2] = np.tile(np.arange(4), 4)
+    txt_ids = np.zeros((s_txt, 3))
+    t = np.array([0.7, 0.2], np.float32)
+    g = np.array([3.5, 3.5], np.float32)
+
+    ours = np.asarray(flux_mod.apply(
+        params, jnp.asarray(latents), jnp.asarray(t5), jnp.asarray(pooled),
+        jnp.asarray(t), img_ids, txt_ids, cfg, guidance=jnp.asarray(g)))
+    ref = mirror.flux_forward(
+        flat, torch.tensor(latents), torch.tensor(t5), torch.tensor(pooled),
+        torch.tensor(t), img_ids, txt_ids, cfg,
+        guidance=torch.tensor(g)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
