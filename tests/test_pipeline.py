@@ -67,3 +67,12 @@ def test_scheduler_variants(pipe):
         imgs = pipe("x", num_inference_steps=2, seed=1, height=32, width=32,
                     scheduler=name)
         assert imgs.shape == (1, 32, 32, 3), name
+
+
+def test_negative_prompt_and_nonsquare(pipe):
+    base = pipe("a cat", num_inference_steps=2, seed=3, height=32, width=32)
+    neg = pipe("a cat", num_inference_steps=2, seed=3, height=32, width=32,
+               negative_prompt="blurry, low quality")
+    assert (base != neg).any()  # negative prompt changes the uncond branch
+    wide = pipe("a cat", num_inference_steps=2, seed=3, height=32, width=64)
+    assert wide.shape == (1, 32, 64, 3)

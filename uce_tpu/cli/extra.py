@@ -8,7 +8,7 @@ from __future__ import annotations
 
 
 def register(sub) -> None:
-    from uce_tpu.cli import debias_cmd, edit_cmds, flux_gen_cmd
+    from uce_tpu.cli import debias_cmd, edit_cmds, flux_gen_cmd, info_cmd
     from uce_tpu.eval import (
         baselines,
         clip_classify,
@@ -35,3 +35,4 @@ def register(sub) -> None:
     nudenet.register_cli(sub)
     compare_grids.register_cli(sub)
     flux_gen_cmd.register_cli(sub)
+    info_cmd.register_cli(sub)

@@ -146,6 +146,7 @@ class SDPipeline:
         width: int = 512,
         scheduler: str | None = None,
         mode: str = "cfg",
+        negative_prompt: str | Sequence[str] | None = None,
         concepts_to_project: Sequence[str] | None = None,
         safety_concept: str | None = None,
         sld_config=None,
@@ -172,8 +173,18 @@ class SDPipeline:
             if len(seeds) != bsz:
                 raise ValueError("len(seed) must match len(prompt)")
 
+        if negative_prompt is None:
+            negatives = [""] * bsz
+        elif isinstance(negative_prompt, str):
+            negatives = [negative_prompt] * bsz
+        else:
+            negatives = [n for n in negative_prompt
+                         for _ in range(num_images_per_prompt)]
+            if len(negatives) != bsz:
+                raise ValueError("len(negative_prompt) must match len(prompt)")
+
         cond = self.encode_prompts(prompts)
-        uncond = self.encode_prompts([""] * bsz)
+        uncond = self.encode_prompts(negatives)
 
         if mode == "cfg":
             context = jnp.concatenate([uncond, cond], axis=0)

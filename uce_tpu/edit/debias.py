@@ -183,12 +183,15 @@ def run_debias(
         uce_sd_debias.py:21-28)."""
         pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights)
         n_img = settings.num_images_per_prompt
+        import zlib
+
+        # stable per-concept seeds (builtin hash() is salted per process)
         images = pipe(
             list(edit_concepts),
             num_inference_steps=settings.num_inference_steps,
             guidance_scale=settings.guidance_scale,
             num_images_per_prompt=n_img,
-            seed=[hash((c, ci)) % (2 ** 31)
+            seed=[zlib.crc32(f"{ci}:{c}".encode()) % (2 ** 31)
                   for ci, c in enumerate(edit_concepts)],
             height=image_size, width=image_size,
         )
