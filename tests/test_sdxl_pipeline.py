@@ -110,3 +110,23 @@ def test_sdxl_edit_path(sdxl_pipe, tmp_path_factory, tmp_path):
     # every edited weight has the 2048-analog (40) input dim
     for k, v in edited.items():
         assert v.shape[-1] == 40
+
+
+def test_sdxl_debias_loop(sdxl_pipe, tmp_path):
+    """run_debias derives dual-encoder resources from an SDXL pipeline."""
+    import numpy as np
+
+    from uce_tpu.edit.debias import DebiasSettings, run_debias
+
+    class StubClip:
+        def classify(self, images, labels):
+            return np.arange(images.shape[0]) % len(labels)
+
+    weights, acc, history = run_debias(
+        sdxl_pipe, StubClip(), ["doctor"], ["male", "female"],
+        settings=DebiasSettings(num_images_per_prompt=2,
+                                num_inference_steps=2, max_iterations=1),
+        save_dir=str(tmp_path), exp_name="xdl", image_size=32, verbose=False)
+    # every edited weight has the dual-encoder input dim (24 + 16 = 40)
+    for k, v in weights.items():
+        assert v.shape[-1] == 40, k

@@ -164,6 +164,12 @@ def run_debias(
         resources = SDEditResources(
             targets=targets, text_params=pipe.text_params,
             text_config=pipe.text_config, tokenizer=pipe.tokenizer,
+            # SDXL: concept embeddings must come from the dual-encoder
+            # concat the UNet is conditioned on
+            text_params_2=pipe.text_params_2,
+            text_config_2=pipe.text_config_2,
+            tokenizer_2=pipe.tokenizer_2,
+            family="sdxl" if pipe.is_sdxl else "sd",
         )
 
     concepts = (list(edit_concepts) + list(debias_concepts)
