@@ -20,12 +20,15 @@ VMEM budget: 4 d x d fp32 buffers + the concept stacks — fits to d = 1024
 (the SD/SDXL text dims 768/1024/2048; d = 2048 falls back to the XLA path
 upstream).
 
-STATUS: validated in interpret mode (tests) and piecewise on hardware; the
-full kernel currently trips an internal error in this image's remote Mosaic
-compiler (chained-matmul programs with multiple VMEM operands), so the
-public solver (`uce_tpu.ops.solver`) keeps the XLA Cholesky path as the
-default — at 8.5 ms for a 100-concept/768-dim solve it is ~100x inside the
-<1 s target. This kernel is the opt-in `method='pallas'` path.
+STATUS: compiles and runs on hardware (one fused launch, ~2.7 ms for a
+100-concept/768-dim solve — parity with the XLA Cholesky path) after
+working around three Mosaic limits on this toolchain: no chained fp32
+HIGHEST dots (use the bf16 hi/lo split), no explicit transposes of narrow
+stacks (use dot_general contraction dims), and at most ONE d x d value
+live across a fori_loop (A is parked in out_ref during the iteration).
+Accuracy floor is the fp32 Newton-Schulz residual (~4e-3 relative at
+cond ~3e3), so the XLA Cholesky path remains the default where the
+reference-tolerance gate applies; this kernel is the opt-in fused path.
 """
 
 from __future__ import annotations
@@ -91,24 +94,26 @@ def _kernel(scalars_ref, c_edit_ref, c_guide_ref, c_pres_ref, out_ref):
     c_p = c_pres_ref[:]
 
     pres_gram = preserve_scale * _dot3_t(c_p, c_p)
-    a = _diag_add(erase_scale * _dot3_t(c_g, c_e) + pres_gram, lam)
+    # Mosaic on this toolchain crashes when TWO d x d values stay live
+    # across the Newton fori_loop; A is parked in out_ref and re-read
+    # after the loop so only B stays live.
+    out_ref[:] = _diag_add(erase_scale * _dot3_t(c_g, c_e) + pres_gram, lam)
     b = _diag_add(erase_scale * _dot3_t(c_e, c_e) + pres_gram, lam)
 
-    # X0 = I / ||B||_inf (max abs row sum >= lambda_max). For SPD B this
-    # keeps every eigenvalue of B X0 at lambda_i/||B|| >= ~1/cond, which
-    # stays representable in fp32 — the B/||B||^2 start squares eigenvalues
-    # and stalls below fp32 eps for small lambda_min.
+    # X0 = I / ||B||_inf (max abs row sum >= lambda_max): keeps every
+    # eigenvalue of B X0 at lambda_i/||B|| >= ~1/cond, representable in
+    # fp32 (a B/||B||^2 start squares eigenvalues and stalls below eps).
     norm = jnp.max(jnp.abs(b).sum(axis=1, keepdims=True))
+    d = b.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    x0 = jnp.where(row == col, 1.0 / norm, 0.0)
 
     def newton(_, x):
         return _dot3(x, _diag_add(-_dot3(b, x), 2.0))
 
-    d0 = b.shape[0]
-    x0 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (d0, d0), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (d0, d0), 1),
-        1.0 / norm, 0.0)
     x = jax.lax.fori_loop(0, NEWTON_ITERS, newton, x0)
+    a = out_ref[:]
     out_ref[:] = _dot3(a, x)
 
 
