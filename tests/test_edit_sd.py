@@ -124,3 +124,25 @@ def test_erased_concept_redirected():
     other = embeds["art"]
     drift = np.linalg.norm(w_new @ other - w_old @ other) / np.linalg.norm(w_old @ other)
     assert drift < 0.6
+
+
+def test_pallas_method_matches_collapsed():
+    import jax
+
+    from tests.helpers import ToyTokenizer, fake_unet_targets, tiny_text_encoder
+    from uce_tpu.edit.sd import SDEditResources, erase_from_embeddings
+
+    params, cfg = tiny_text_encoder()
+    res = SDEditResources(
+        targets=fake_unet_targets(d=cfg.hidden_size), text_params=params,
+        text_config=cfg, tokenizer=ToyTokenizer())
+    embeds = res.encode_concepts(["van gogh", "art", "nature"])
+    ref = erase_from_embeddings(res.targets, embeds, ["van gogh"], ["art"],
+                                ["nature"], method="collapsed")
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = erase_from_embeddings(res.targets, embeds, ["van gogh"],
+                                    ["art"], ["nature"], method="pallas")
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-3, atol=2e-3)

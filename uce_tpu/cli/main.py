@@ -41,10 +41,11 @@ def _add_common_edit_flags(p: argparse.ArgumentParser, default_model: str):
     p.add_argument("--expand_prompts", choices=["true", "false"], default="false")
     p.add_argument("--save_dir", type=str, default="../uce_models")
     p.add_argument("--exp_name", type=str, default="uce_test")
-    p.add_argument("--method", choices=["collapsed", "general"],
+    p.add_argument("--method", choices=["collapsed", "general", "pallas"],
                    default="collapsed",
-                   help="collapsed: single edit-matrix (fast path); "
-                        "general: per-layer batched solve")
+                   help="collapsed: single edit-matrix via XLA Cholesky; "
+                        "general: per-layer batched solve; pallas: fused "
+                        "Newton-Schulz kernel + XLA refinement")
     p.add_argument("--apply_on", choices=["device", "host"],
                    default="device",
                    help="where the stacked W@E multiply runs; 'host' avoids "

@@ -123,10 +123,16 @@ def erase_from_embeddings(
     if c_pres.shape[0] == 0:
         c_pres = np.zeros((0, c_edit.shape[1]), np.float32)
 
-    if method == "collapsed":
-        e_mat = uce_edit_matrix(
-            c_edit, c_guide, c_pres, erase_scale, preserve_scale, lamb
-        )
+    if method in ("collapsed", "pallas"):
+        if method == "pallas":
+            from uce_tpu.ops.pallas.uce_solve import uce_edit_matrix_pallas
+
+            e_mat = uce_edit_matrix_pallas(
+                c_edit, c_guide, c_pres, erase_scale, preserve_scale, lamb)
+        else:
+            e_mat = uce_edit_matrix(
+                c_edit, c_guide, c_pres, erase_scale, preserve_scale, lamb
+            )
         # One stacked matmul for the whole model: concat rows, multiply, split.
         names = list(targets)
         w_cat = np.concatenate([np.asarray(targets[n], np.float32) for n in names])

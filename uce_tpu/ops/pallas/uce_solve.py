@@ -84,21 +84,18 @@ def _dot3(a, b):
             + jnp.dot(al, bh, preferred_element_type=jnp.float32))
 
 
-def _kernel(scalars_ref, c_edit_ref, c_guide_ref, c_pres_ref, out_ref):
+def _kernel(scalars_ref, c_edit_ref, c_pres_ref, out_ref):
+    """Computes X ~= B^-1 in VMEM; the (precise, cheap) edit-matrix
+    assembly and iterative refinement happen in XLA outside the kernel.
+    Only B stays live across the Newton loop (Mosaic liveness limit)."""
     lam = scalars_ref[0]
     erase_scale = scalars_ref[1]
     preserve_scale = scalars_ref[2]
 
     c_e = c_edit_ref[:]
-    c_g = c_guide_ref[:]
     c_p = c_pres_ref[:]
-
-    pres_gram = preserve_scale * _dot3_t(c_p, c_p)
-    # Mosaic on this toolchain crashes when TWO d x d values stay live
-    # across the Newton fori_loop; A is parked in out_ref and re-read
-    # after the loop so only B stays live.
-    out_ref[:] = _diag_add(erase_scale * _dot3_t(c_g, c_e) + pres_gram, lam)
-    b = _diag_add(erase_scale * _dot3_t(c_e, c_e) + pres_gram, lam)
+    b = _diag_add(erase_scale * _dot3_t(c_e, c_e)
+                  + preserve_scale * _dot3_t(c_p, c_p), lam)
 
     # X0 = I / ||B||_inf (max abs row sum >= lambda_max): keeps every
     # eigenvalue of B X0 at lambda_i/||B|| >= ~1/cond, representable in
@@ -112,9 +109,7 @@ def _kernel(scalars_ref, c_edit_ref, c_guide_ref, c_pres_ref, out_ref):
     def newton(_, x):
         return _dot3(x, _diag_add(-_dot3(b, x), 2.0))
 
-    x = jax.lax.fori_loop(0, NEWTON_ITERS, newton, x0)
-    a = out_ref[:]
-    out_ref[:] = _dot3(a, x)
+    out_ref[:] = jax.lax.fori_loop(0, NEWTON_ITERS, newton, x0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -127,7 +122,13 @@ def uce_edit_matrix_pallas(
     lamb,
 ) -> jnp.ndarray:
     """E [d, d] such that W_new = W_old @ E. Uniform scalar scales only
-    (the general per-concept-scale path lives in ops.solver)."""
+    (the general per-concept-scale path lives in ops.solver).
+
+    The Pallas kernel produces X ~= B^-1 (all-MXU Newton-Schulz); the
+    assembly E = A X plus one step of iterative refinement
+    E <- E + (A - E B) X runs in XLA at HIGHEST precision, contracting the
+    fp32 Newton floor (~4e-3) to ~1e-5 relative.
+    """
     d = c_edit.shape[-1]
     if d > MAX_PALLAS_DIM:
         raise ValueError(
@@ -135,30 +136,41 @@ def uce_edit_matrix_pallas(
     c_edit = jnp.asarray(c_edit, jnp.float32)
     c_guide = jnp.asarray(c_guide, jnp.float32)
     c_pres = jnp.asarray(c_pres, jnp.float32)
-    # pad stacks to the fp32 sublane tile (8 rows); zero rows are inert in
-    # the Gram sums, and single-row VMEM operands are a Mosaic hazard here
+
     def pad8(x):
         r = (-x.shape[0]) % 8
         return jnp.pad(x, ((0, max(r, 8 if x.shape[0] == 0 else r)), (0, 0)))
 
-    c_edit, c_guide, c_pres = pad8(c_edit), pad8(c_guide), pad8(c_pres)
-    scalars = jnp.asarray(
-        [lamb, erase_scale, preserve_scale], jnp.float32)
+    c_edit_p, c_pres_p = pad8(c_edit), pad8(c_pres)
+    scalars = jnp.asarray([lamb, erase_scale, preserve_scale], jnp.float32)
 
-    return pl.pallas_call(
+    x_inv = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * d * d * (c_edit.shape[0] * 2 + c_pres.shape[0])
-                      + NEWTON_ITERS * 4 * d ** 3 + 2 * d ** 3),
+            flops=int(2 * d * d * (c_edit_p.shape[0] + c_pres_p.shape[0])
+                      + NEWTON_ITERS * 4 * d ** 3),
             bytes_accessed=int(4 * d * d * 4),
             transcendentals=0,
         ),
-    )(scalars, c_edit, c_guide, c_pres)
+    )(scalars, c_edit_p, c_pres_p)
+
+    hi = jax.lax.Precision.HIGHEST
+    dg = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    eye = jnp.eye(d, dtype=jnp.float32)
+    pres_gram = preserve_scale * dg(c_pres, c_pres)
+    a_mat = lamb * eye + erase_scale * dg(c_guide, c_edit) + pres_gram
+    b_mat = lamb * eye + erase_scale * dg(c_edit, c_edit) + pres_gram
+    e = jnp.dot(a_mat, x_inv, preferred_element_type=jnp.float32, precision=hi)
+    r = a_mat - jnp.dot(e, b_mat, preferred_element_type=jnp.float32,
+                        precision=hi)
+    return e + jnp.dot(r, x_inv, preferred_element_type=jnp.float32,
+                       precision=hi)
