@@ -67,7 +67,7 @@ def eval_folders(
     edited_path: str,
     prompts_path: str | None = None,
     save_path: str | None = None,
-    image_size: int = 64,
+    image_size: int = 512,
 ) -> pd.DataFrame:
     """Style/content loss of edited images against the originals (the
     original image serves as both style and content reference, matching
@@ -126,7 +126,8 @@ def register_cli(sub) -> None:
                    help="local VGG19 state dict (.pt/.safetensors)")
     p.add_argument("--prompts_path", type=str, default=None)
     p.add_argument("--save_path", type=str, default=None)
-    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=512,
+                   help="reference: 512 on GPU, 128 on CPU")
     p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
