@@ -95,9 +95,11 @@ def eval_folders(
     if distance_fn is None:
         distance_fn = lambda a, b: lpips_distance(params, a, b)
 
-    cases: dict[int, list[float]] = {}
-    names = [n for n in os.listdir(original_path) if n.endswith(".png")]
-    for name in sorted(names):
+    # collect valid pairs first, then run the metric in batches (one device
+    # program per batch instead of one per image pair)
+    pairs: list[tuple[int, str, str]] = []
+    for name in sorted(n for n in os.listdir(original_path)
+                       if n.endswith(".png")):
         edited_file = os.path.join(edited_path, name)
         if not os.path.exists(edited_file):
             continue  # reference skips missing pairs (lpips_eval.py:74-83)
@@ -105,10 +107,17 @@ def eval_folders(
             case = int(name.split("_")[0])
         except ValueError:
             continue
-        a = _load_pair_image(os.path.join(original_path, name), image_size)
-        b = _load_pair_image(edited_file, image_size)
-        d = float(np.asarray(distance_fn(a[None], b[None]))[0])
-        cases.setdefault(case, []).append(d)
+        pairs.append((case, os.path.join(original_path, name), edited_file))
+
+    cases: dict[int, list[float]] = {}
+    batch = 16
+    for i in range(0, len(pairs), batch):
+        chunk = pairs[i:i + batch]
+        a = np.stack([_load_pair_image(p, image_size) for _, p, _ in chunk])
+        b = np.stack([_load_pair_image(p, image_size) for _, _, p in chunk])
+        dists = np.asarray(distance_fn(a, b))
+        for (case, _, _), d in zip(chunk, dists):
+            cases.setdefault(case, []).append(float(d))
 
     if not cases:
         raise FileNotFoundError("no paired case images found")

@@ -72,7 +72,7 @@ def eval_folders(
     """Style/content loss of edited images against the originals (the
     original image serves as both style and content reference, matching
     the interference-measurement protocol)."""
-    cases: dict[int, list[tuple[float, float]]] = {}
+    pairs: list[tuple[int, str, str]] = []
     for name in sorted(os.listdir(original_path)):
         if not name.endswith(".png"):
             continue
@@ -83,11 +83,18 @@ def eval_folders(
             case = int(name.split("_")[0])
         except ValueError:
             continue
-        ref = _prep(os.path.join(original_path, name), image_size)[None]
-        img = _prep(edited_file, image_size)[None]
+        pairs.append((case, os.path.join(original_path, name), edited_file))
+
+    cases: dict[int, list[tuple[float, float]]] = {}
+    batch = 8
+    for i in range(0, len(pairs), batch):
+        chunk = pairs[i:i + batch]
+        ref = np.stack([_prep(p, image_size) for _, p, _ in chunk])
+        img = np.stack([_prep(p, image_size) for _, _, p in chunk])
         s, c = style_content_loss(params, img, ref, ref)
-        cases.setdefault(case, []).append(
-            (float(np.asarray(s)[0]), float(np.asarray(c)[0])))
+        s, c = np.asarray(s), np.asarray(c)
+        for j, (case, _, _) in enumerate(chunk):
+            cases.setdefault(case, []).append((float(s[j]), float(c[j])))
 
     if not cases:
         raise FileNotFoundError("no paired case images found")
