@@ -93,3 +93,11 @@ def test_flux_edit_changes_generation(tiny_flux_pipe, tmp_path):
     edited = tiny_flux_pipe("van gogh style", num_inference_steps=2, seed=9,
                             height=16, width=16)
     assert (base != edited).any()
+
+
+def test_flux_multi_seed_batch(tiny_flux_pipe):
+    batched = tiny_flux_pipe(["cat", "dog"], num_inference_steps=2,
+                             seed=[3, 4], height=16, width=16)
+    solo = tiny_flux_pipe("dog", num_inference_steps=2, seed=4,
+                          height=16, width=16)
+    np.testing.assert_array_equal(batched[1], solo[0])

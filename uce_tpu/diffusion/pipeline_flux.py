@@ -177,8 +177,16 @@ class FluxPipeline:
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.vae_config.latent_channels
-        latents = jnp.asarray(
-            torch_rng.randn((bsz, lh, lw, lc), seed), self.dtype)
+        if isinstance(seed, (int, np.integer)):
+            lat_np = torch_rng.randn((bsz, lh, lw, lc), seed)
+        else:  # per-prompt seeds, one draw per seed (generator-list parity)
+            seeds = [int(s) for s in seed
+                     for _ in range(num_images_per_prompt)]
+            if len(seeds) != bsz:
+                raise ValueError("len(seed) must match len(prompt)")
+            lat_np = np.concatenate(
+                [torch_rng.randn((1, lh, lw, lc), s) for s in seeds])
+        latents = jnp.asarray(lat_np, self.dtype)
         packed = pack_latents(latents)
 
         seq_len = packed.shape[1]
