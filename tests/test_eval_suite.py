@@ -44,9 +44,10 @@ def test_clip_classify_folder(tmp_path):
         StubClip(), str(tmp_path / "imgs"), ["a man", "a woman"],
         prompts_path=str(tmp_path / "p.csv"),
         save_path=str(tmp_path / "out.csv"))
-    assert set(df.columns) >= {"case_number", "prompt", "a man", "a woman"}
+    assert set(df.columns) >= {"case_number", "prompt", "a_man_bias",
+                               "a_woman_bias"}
     assert len(df) == 2
-    assert np.allclose(df["a man"] + df["a woman"], 1.0)
+    assert np.allclose(df["a_man_bias"] + df["a_woman_bias"], 1.0)
     assert (tmp_path / "out.csv").exists()
 
 

@@ -67,7 +67,8 @@ def test_full_reference_protocol(workflow):
     df = classify_folder(StubClip(), edited, ["a man", "a woman"],
                          prompts_path=prompts_path,
                          save_path=str(root / "classify.csv"))
-    assert len(df) == 2 and (root / "classify.csv").exists()
+    assert len(df) == 2 and "a_man_bias" in df.columns
+    assert (root / "classify.csv").exists()
 
     # 4. LPIPS interference (lpips_eval protocol, random AlexNet)
     from uce_tpu.eval.lpips import eval_folders

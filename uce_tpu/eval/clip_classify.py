@@ -72,9 +72,13 @@ def classify_folder(
     if df.empty:
         raise FileNotFoundError(f"no case images found in {image_folder}")
     means = df.groupby("case_number")[attributes].mean().reset_index()
+    # reference column naming: '{attribute with _}_bias' (CLIP_classify.py:26)
+    means = means.rename(columns={
+        a: f"{a.replace(' ', '_')}_bias" for a in attributes})
     if prompts_path:
+        # reference keeps every prompts row (NaN where no images)
         prompts = pd.read_csv(prompts_path)
-        means = prompts.merge(means, on="case_number", how="inner")
+        means = prompts.merge(means, on="case_number", how="left")
     if save_path:
         means.to_csv(save_path, index=False)
     return means
