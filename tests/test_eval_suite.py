@@ -191,7 +191,7 @@ def test_imageclassify_fixed_bug(tmp_path, rng):
         df = ic.classify_folder(
             {}, str(tmp_path / "imgs"), prompts_path=str(tmp_path / "p.csv"),
             save_path=str(tmp_path / "out.csv"), topk=3)
-        assert df["top1"].iloc[0] == 999
+        assert df["index_top1"].iloc[0] == 999
         assert bool(df["correct"].iloc[0])
     finally:
         ic.resnet50_logits = orig

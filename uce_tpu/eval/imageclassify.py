@@ -42,7 +42,13 @@ def classify_folder(
     batch_size: int = 16,
     from_case: int = 0,
     till_case: int = 1_000_000,
+    categories: list[str] | None = None,
 ) -> pd.DataFrame:
+    """Reference CSV contract (imageclassify.py:80-87): per-image
+    ``index_top{k}``/``scores_top{k}``/``category_top{k}`` columns merged
+    with the prompts CSV. ``categories`` maps class index -> name (the
+    reference uses torchvision weight metadata); indexes are used as names
+    when absent."""
     from uce_tpu.utils.imaging import load_image
 
     rows, batch, meta = [], [], []
@@ -52,10 +58,18 @@ def classify_folder(
             return
         logits = np.asarray(resnet50_logits(
             params, preprocess_imagenet(np.stack(batch))))
-        top = np.argsort(-logits, axis=-1)[:, :topk]
-        for (case, num), t in zip(meta, top):
-            rows.append({"case_number": case, "num": num,
-                         **{f"top{i+1}": int(t[i]) for i in range(topk)}})
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        top = np.argsort(-probs, axis=-1)[:, :topk]
+        for (case, num), t, p in zip(meta, top, probs):
+            row = {"case_number": case, "num": num}
+            for i in range(topk):
+                idx = int(t[i])
+                row[f"category_top{i+1}"] = (
+                    categories[idx] if categories else str(idx))
+                row[f"index_top{i+1}"] = idx
+                row[f"scores_top{i+1}"] = float(p[idx])
+            rows.append(row)
         batch.clear()
         meta.clear()
 
@@ -80,7 +94,7 @@ def classify_folder(
         prompts = pd.read_csv(prompts_path)
         df = prompts.merge(df, on="case_number", how="inner")
         if "label_idx" in df.columns:
-            hits = df[[f"top{i+1}" for i in range(topk)]].values
+            hits = df[[f"index_top{i+1}" for i in range(topk)]].values
             df["correct"] = (hits == df["label_idx"].values[:, None]).any(-1)
     if save_path:
         df.to_csv(save_path, index=False)
@@ -96,6 +110,9 @@ def register_cli(sub) -> None:
     p.add_argument("--prompts_path", type=str, default=None)
     p.add_argument("--save_path", type=str, default=None)
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--labels_path", type=str, default=None,
+                   help="text file with one ImageNet category name per "
+                        "line (the reference reads torchvision metadata)")
     p.add_argument("--device", type=str, default=None)
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
@@ -108,11 +125,16 @@ def _cmd(args) -> int:
     apply_device_flag(args.device)
     params = load_resnet_weights(args.weights)
     save_path = args.save_path or (
-        args.image_folder.rstrip("/") + "_classify.csv")
+        args.image_folder.rstrip("/") + "_classification.csv")
+    categories = None
+    if args.labels_path:
+        with open(args.labels_path) as f:
+            categories = [line.strip() for line in f]
     df = classify_folder(params, args.image_folder,
                          prompts_path=args.prompts_path,
                          save_path=save_path, topk=args.topk,
-                         from_case=args.from_case, till_case=args.till_case)
+                         from_case=args.from_case, till_case=args.till_case,
+                         categories=categories)
     if "correct" in df.columns:
         print(f"top-{args.topk} accuracy: {df['correct'].mean():.4f}")
     print(f"wrote {save_path} ({len(df)} rows)")
