@@ -76,11 +76,11 @@ def test_lpips_folder_protocol(tmp_path, rng):
     df = lpips_mod.eval_folders(
         params, str(tmp_path / "orig"), str(tmp_path / "edit"),
         save_path=str(tmp_path / "out.csv"))
-    assert len(df) == 2 and (df["loss"] > 0).all()
+    assert len(df) == 2 and (df["lpips_loss"] > 0).all()
     # identical folders -> zero loss
     df0 = lpips_mod.eval_folders(
         params, str(tmp_path / "orig"), str(tmp_path / "orig"))
-    assert np.allclose(df0["loss"], 0.0, atol=1e-6)
+    assert np.allclose(df0["lpips_loss"], 0.0, atol=1e-6)
 
 
 def test_styleloss_identity(tmp_path, rng):

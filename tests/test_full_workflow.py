@@ -82,7 +82,7 @@ def test_full_reference_protocol(workflow):
     lp = eval_folders(params, orig, edited,
                       prompts_path=prompts_path,
                       save_path=str(root / "lpips.csv"))
-    assert len(lp) == 2 and (lp["loss"] >= 0).all()
+    assert len(lp) == 2 and (lp["lpips_loss"] >= 0).all()
 
     # 5. comparison grid (make-compare-images protocol)
     from uce_tpu.eval.compare_grids import make_grids

@@ -40,7 +40,8 @@ def eval_folders(distance_fn, original_path, edited_path,
 
     return shared(None, original_path, edited_path,
                   prompts_path=prompts_path, save_path=save_path,
-                  image_size=image_size, distance_fn=distance_fn)
+                  image_size=image_size, distance_fn=distance_fn,
+                  loss_column="dream_loss")
 
 
 def register_cli(sub) -> None:

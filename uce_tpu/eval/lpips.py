@@ -86,11 +86,14 @@ def eval_folders(
     num_samples: int = 10,
     image_size: int = 64,
     distance_fn=None,
+    loss_column: str = "lpips_loss",
 ) -> pd.DataFrame:
     """Per-case mean distances between paired case images.
 
     ``distance_fn`` overrides the metric (used by dreamsim_eval's shared
-    protocol); defaults to LPIPS with ``params``.
+    protocol, which passes loss_column='dream_loss'); defaults to LPIPS
+    with ``params``. CSV contract (lpips_eval.py:66-90): the full prompts
+    CSV with a per-case mean loss column appended.
     """
     if distance_fn is None:
         distance_fn = lambda a, b: lpips_distance(params, a, b)
@@ -122,11 +125,11 @@ def eval_folders(
     if not cases:
         raise FileNotFoundError("no paired case images found")
     df = pd.DataFrame(
-        [{"case_number": c, "loss": float(np.mean(v))}
+        [{"case_number": c, loss_column: float(np.mean(v))}
          for c, v in sorted(cases.items())])
     if prompts_path:
         df = pd.read_csv(prompts_path).merge(df, on="case_number",
-                                             how="inner")
+                                             how="left")
     if save_path:
         df.to_csv(save_path, index=False)
     return df
@@ -157,5 +160,5 @@ def _cmd(args) -> int:
                       prompts_path=args.prompts_path, save_path=save_path,
                       image_size=args.image_size)
     print(f"wrote {save_path} ({len(df)} cases, "
-          f"mean {df['loss'].mean():.4f})")
+          f"mean {df['lpips_loss'].mean():.4f})")
     return 0

@@ -101,11 +101,12 @@ def eval_folders(
     df = pd.DataFrame([
         {"case_number": k,
          "style_loss": float(np.mean([x[0] for x in v])),
-         "content_loss": float(np.mean([x[1] for x in v]))}
+         "content_loss": float(np.mean([x[1] for x in v])),
+         "total_loss": float(np.mean([x[0] + x[1] for x in v]))}
         for k, v in sorted(cases.items())])
     if prompts_path:
         df = pd.read_csv(prompts_path).merge(df, on="case_number",
-                                             how="inner")
+                                             how="left")
     if save_path:
         df.to_csv(save_path, index=False)
     return df
