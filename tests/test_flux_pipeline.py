@@ -101,3 +101,11 @@ def test_flux_multi_seed_batch(tiny_flux_pipe):
     solo = tiny_flux_pipe("dog", num_inference_steps=2, seed=4,
                           height=16, width=16)
     np.testing.assert_array_equal(batched[1], solo[0])
+
+
+def test_flux_list_seed_distinct_samples(tiny_flux_pipe):
+    """Regression: per-prompt generator must advance across samples."""
+    imgs = tiny_flux_pipe("cat", num_inference_steps=2, seed=[5],
+                          num_images_per_prompt=2, height=32, width=32)
+    assert imgs.shape[0] == 2
+    assert (imgs[0] != imgs[1]).any(), "samples of one prompt are identical"

@@ -76,3 +76,41 @@ def test_negative_prompt_and_nonsquare(pipe):
     assert (base != neg).any()  # negative prompt changes the uncond branch
     wide = pipe("a cat", num_inference_steps=2, seed=3, height=32, width=64)
     assert wide.shape == (1, 32, 64, 3)
+
+
+def test_list_seed_distinct_samples_within_prompt(pipe):
+    """Regression: seed=[s] with num_images_per_prompt>1 must advance the
+    per-prompt generator across samples (reference
+    generate-images-sd.py:37-42), not repeat one (1,...) draw."""
+    imgs = pipe("cat", num_inference_steps=2, seed=[5],
+                num_images_per_prompt=2, height=32, width=32)
+    assert imgs.shape[0] == 2
+    assert (imgs[0] != imgs[1]).any(), "samples of one prompt are identical"
+
+
+def test_list_seed_first_sample_matches_single_draw(pipe):
+    """torch.Generator sequential-draw semantics: the first of N samples
+    equals the single-sample draw from the same seed."""
+    one = pipe("cat", num_inference_steps=2, seed=[5],
+               num_images_per_prompt=1, height=32, width=32)
+    two = pipe("cat", num_inference_steps=2, seed=[5],
+               num_images_per_prompt=2, height=32, width=32)
+    np.testing.assert_array_equal(one[0], two[0])
+
+
+def test_list_seed_multi_prompt_blocks(pipe):
+    """Two prompts x two samples: per-prompt generators are independent, so
+    the same seed list gives reproducible, prompt-blocked latents."""
+    imgs = pipe(["cat", "dog"], num_inference_steps=2, seed=[5, 9],
+                num_images_per_prompt=2, height=32, width=32)
+    assert imgs.shape[0] == 4
+    assert (imgs[0] != imgs[1]).any() and (imgs[2] != imgs[3]).any()
+    again = pipe(["cat", "dog"], num_inference_steps=2, seed=[5, 9],
+                 num_images_per_prompt=2, height=32, width=32)
+    np.testing.assert_array_equal(imgs, again)
+
+
+def test_list_seed_length_mismatch_raises(pipe):
+    with pytest.raises(ValueError):
+        pipe(["cat", "dog"], num_inference_steps=2, seed=[5],
+             height=32, width=32)

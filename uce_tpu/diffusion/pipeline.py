@@ -120,10 +120,15 @@ class SDPipeline:
         context = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         return context, pooled.astype(self.dtype)
 
-    def _sdxl_added_cond(self, prompts, bsz, height, width, n_branches):
-        """text_embeds (pooled, uncond first) + time_ids [h,w,0,0,h,w]."""
+    def _sdxl_added_cond(self, prompts, negatives, bsz, height, width,
+                         n_branches):
+        """text_embeds (pooled, uncond first) + time_ids [h,w,0,0,h,w].
+
+        diffusers SDXL pools the *negative* prompt for the uncond branch, so
+        the negatives are threaded through rather than hard-coded ''.
+        """
         _, pooled_cond = self.encode_prompts_sdxl(prompts)
-        _, pooled_uncond = self.encode_prompts_sdxl([""] * bsz)
+        _, pooled_uncond = self.encode_prompts_sdxl(negatives)
         text_embeds = jnp.concatenate([pooled_uncond, pooled_cond], axis=0)
         if n_branches > 2:  # extra guidance branches reuse the cond pooled
             extra = jnp.concatenate(
@@ -161,17 +166,11 @@ class SDPipeline:
         from uce_tpu.diffusion import guidance as gmod
 
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        n_prompts = len(prompts)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
-        # per-image seeds (diffusers generator-list semantics): one draw per
-        # seed, repeated across that prompt's samples
-        if isinstance(seed, (int, np.integer)):
-            seeds = [int(seed)] * bsz
-        else:
-            seeds = [int(s) for s in seed
-                     for _ in range(num_images_per_prompt)]
-            if len(seeds) != bsz:
-                raise ValueError("len(seed) must match len(prompt)")
+        if not isinstance(seed, (int, np.integer)) and len(seed) != n_prompts:
+            raise ValueError("len(seed) must match len(prompt)")
 
         if negative_prompt is None:
             negatives = [""] * bsz
@@ -210,14 +209,18 @@ class SDPipeline:
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
-        if len(set(seeds)) == 1 and bsz > 1 and isinstance(seed, (int, np.integer)):
+        lc = self.unet_config.in_channels
+        if isinstance(seed, (int, np.integer)):
             # reference batch semantics: one generator for the whole batch
-            lat_np = torch_rng.randn(
-                (bsz, lh, lw, self.unet_config.in_channels), seeds[0])
+            lat_np = torch_rng.randn((bsz, lh, lw, lc), int(seed))
         else:
+            # one torch.Generator per prompt (reference
+            # evalscripts/generate-images-sd.py:37-42): the generator
+            # advances across that prompt's num_images_per_prompt samples,
+            # so samples within a prompt are distinct.
             lat_np = np.concatenate([
-                torch_rng.randn((1, lh, lw, self.unet_config.in_channels), s)
-                for s in seeds])
+                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
+                for s in seed])
         latents = jnp.asarray(lat_np, self.dtype)
 
         sched_name = scheduler
@@ -233,7 +236,7 @@ class SDPipeline:
         if self.is_sdxl:
             n_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[eff_mode]
             added_cond = self._sdxl_added_cond(
-                prompts, bsz, height, width, n_branches)
+                prompts, negatives, bsz, height, width, n_branches)
         images = _generate_jit(
             self, plan, latents, context, float(guidance_scale),
             eff_mode, sld_cfg, added_cond)

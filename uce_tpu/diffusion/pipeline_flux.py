@@ -150,9 +150,12 @@ class FluxPipeline:
     def encode_prompts(self, prompts: Sequence[str]):
         ids, mask = emb.tokenize_batch(self.t5_tokenizer, list(prompts),
                                        self.max_sequence_length)
+        # diffusers FluxPipeline._get_t5_prompt_embeds passes no attention
+        # mask to the T5 encoder (pad tokens fully attend) — match it.
+        del mask
         t5_out = t5_mod.encode_tokens(
-            self.t5_params, jnp.asarray(ids), jnp.asarray(mask),
-            self.t5_config)
+            self.t5_params, jnp.asarray(ids),
+            jnp.ones_like(jnp.asarray(ids)), self.t5_config)
         cids, _ = emb.tokenize_batch(self.clip_tokenizer, list(prompts),
                                      self.clip_config.max_position_embeddings)
         _, pooled, _ = clip_text.encode_tokens(
@@ -179,13 +182,15 @@ class FluxPipeline:
         lc = self.vae_config.latent_channels
         if isinstance(seed, (int, np.integer)):
             lat_np = torch_rng.randn((bsz, lh, lw, lc), seed)
-        else:  # per-prompt seeds, one draw per seed (generator-list parity)
-            seeds = [int(s) for s in seed
-                     for _ in range(num_images_per_prompt)]
-            if len(seeds) != bsz:
+        else:
+            # one torch.Generator per prompt: it advances across the
+            # prompt's num_images_per_prompt samples, so samples within a
+            # prompt are distinct (generator-list parity).
+            if len(seed) * num_images_per_prompt != bsz:
                 raise ValueError("len(seed) must match len(prompt)")
-            lat_np = np.concatenate(
-                [torch_rng.randn((1, lh, lw, lc), s) for s in seeds])
+            lat_np = np.concatenate([
+                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
+                for s in seed])
         latents = jnp.asarray(lat_np, self.dtype)
         packed = pack_latents(latents)
 

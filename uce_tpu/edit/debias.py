@@ -240,7 +240,7 @@ def run_debias(
         settings.max_iterations, settings.max_diff,
         on_iteration=on_iteration,
     )
-    if np.abs(history[-1]["ratios"]).max() == 0 and verbose:
+    if history and np.abs(history[-1]["ratios"]).max() == 0 and verbose:
         print("All concepts are debiased")
 
     if save_dir is not None:

@@ -91,8 +91,13 @@ def encode_concepts(res: FluxEditResources,
 
     ids, mask = emb.tokenize_batch(res.t5_tokenizer, unique,
                                    res.max_sequence_length)
+    # Reference parity: diffusers FluxPipeline._get_t5_prompt_embeds calls
+    # the T5 encoder with NO attention mask (uce_flux_edit.py:48-53), so pad
+    # tokens fully attend. The real mask is still used for last-token
+    # indexing below.
     t5_hidden = t5_mod.encode_tokens(
-        res.t5_params, jnp.asarray(ids), jnp.asarray(mask), res.t5_config)
+        res.t5_params, jnp.asarray(ids), jnp.ones_like(jnp.asarray(mask)),
+        res.t5_config)
     t5_embeds = emb.gather_last_tokens(t5_hidden, emb.last_token_indices(mask))
 
     ids_c, _ = emb.tokenize_batch(res.clip_tokenizer, unique,

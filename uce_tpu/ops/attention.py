@@ -12,8 +12,26 @@ Policy (measured on the target chip — see docs/PERF.md):
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+_fallback_warned = False
+
+
+def _warn_flash_fallback(exc: Exception) -> None:
+    """Log the flash->XLA fallback once per process so a tuned-kernel
+    regression (e.g. after a toolchain bump) is visible in stderr instead
+    of silently halving throughput."""
+    global _fallback_warned
+    if not _fallback_warned:
+        _fallback_warned = True
+        logger.warning(
+            "Pallas flash attention failed (%s: %s); falling back to XLA "
+            "attention for the rest of this process.",
+            type(exc).__name__, exc)
 
 
 def _xla_attention(
@@ -109,6 +127,8 @@ def dot_product_attention(
             and jax.default_backend() == "tpu"):
         try:
             return _flash_attention(q, k, v, scale).astype(q.dtype)
-        except Exception:  # pragma: no cover - kernel corner cases
-            pass
+        except (ValueError, NotImplementedError, RuntimeError) as exc:
+            # Pallas lowering errors (ValueError/NotImplementedError) and
+            # Mosaic compile failures (XlaRuntimeError <: RuntimeError).
+            _warn_flash_fallback(exc)
     return _xla_attention(q, k, v, mask, causal, scale)
