@@ -90,3 +90,51 @@ def test_full_reference_protocol(workflow):
     n = make_grids([orig, edited], ["original", "erased"],
                    str(root / "grids"), num_samples=2)
     assert n == 2
+
+
+def test_generated_samples_within_case_differ(workflow):
+    """Regression for the list-seed bug: {case}_0.png vs {case}_1.png must
+    be distinct images (reference generate-images-sd.py:37-42 advances one
+    generator per row across samples)."""
+    from PIL import Image
+
+    root = workflow[0]
+    for case in (0, 1):
+        a = np.asarray(Image.open(root / "imgs/original" / f"{case}_0.png"))
+        b = np.asarray(Image.open(root / "imgs/original" / f"{case}_1.png"))
+        assert (a != b).any(), f"case {case}: duplicate samples"
+
+
+def test_vendored_corpus_protocol(workflow, tmp_path):
+    """Paper-protocol smoke test on the vendored reference corpus:
+    data/vangogh_prompts.csv drives generation out-of-the-box."""
+    import os
+
+    from uce_tpu.eval.generate import generate_images
+
+    _, snap, _, _ = workflow
+    csv = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "vangogh_prompts.csv")
+    assert os.path.exists(csv), "vendored corpus missing"
+    n = generate_images(str(snap), csv, str(tmp_path / "vg"),
+                        ddim_steps=2, image_size=32, num_samples=1,
+                        dtype="float32", till_case=1)
+    assert n == 2  # cases 0 and 1
+    assert (tmp_path / "vg/original/0_0.png").exists()
+    assert (tmp_path / "vg/original/1_0.png").exists()
+
+
+def test_vendored_corpus_complete():
+    """The full reference data corpus ships with the framework
+    (SURVEY §2.3: 33 data files + 8 prompts_dir CSVs + 26 info lists)."""
+    import os
+
+    data = os.path.join(os.path.dirname(__file__), "..", "data")
+    for f in ("coco_30k.csv", "unsafe-prompts4703.csv", "artists_sd.txt",
+              "profession_prompts.csv", "biases_compare.csv",
+              "imagenet_prompts.csv", "gender_bias.csv"):
+        assert os.path.exists(os.path.join(data, f)), f
+    assert len(os.listdir(os.path.join(data, "prompts_dir"))) == 8
+    assert len(os.listdir(os.path.join(data, "info"))) == 26
+    df = pd.read_csv(os.path.join(data, "coco_30k.csv"))
+    assert len(df) >= 30_000 and "case_number" in df.columns
