@@ -29,10 +29,16 @@ CONTENT_WEIGHT = 1.0
 
 
 def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
-    """[B,H,W,C] -> normalized Gram [B,C,C] (styleloss.py:49-60)."""
+    """[B,H,W,C] -> normalized Gram [B,C,C] (styleloss.py:49-60).
+
+    The reference normalizes by a*b*c*d with a (batch) == 1 per image, i.e.
+    by C*H*W per element — the batch axis here is vectorization over
+    independent images and must NOT enter the normalizer, or batched eval
+    would deflate every gram by the batch size.
+    """
     b, h, w, c = feat.shape
     f = feat.reshape(b, h * w, c)
-    return jnp.einsum("bnc,bnd->bcd", f, f) / (b * h * w * c)
+    return jnp.einsum("bnc,bnd->bcd", f, f) / (h * w * c)
 
 
 def style_content_loss(params: dict, image: jnp.ndarray,

@@ -98,6 +98,8 @@ def convert_vgg19(sd: Mapping) -> dict:
         if item == "M":
             idx += 1
             continue
+        if f"{prefix}{idx}.weight" not in sd:
+            break  # truncated snapshot (style loss only needs conv_1..5)
         params[f"conv{conv_i}"] = _conv_p(sd, f"{prefix}{idx}")
         conv_i += 1
         idx += 2  # conv + relu
