@@ -1,0 +1,181 @@
+"""HiDream pipeline tests: tiny end-to-end generation + UCE edit A/B.
+
+Mirrors tests/test_flux_pipeline.py for the HiDream-I1 family (reference
+entry: trainscripts/uce_hidream_edit.py; the upstream inference demo
+notebook's blob is missing from the snapshot, so the A/B protocol follows
+inference_flux.ipynb cells 4/6).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import ToyTokenizer
+from uce_tpu.diffusion import pipeline_hidream as ph
+from uce_tpu.edit import hidream as edit_hd
+from uce_tpu.models import clip_text, hidream as hd_mod, llama as llama_mod
+from uce_tpu.models import t5 as t5_mod, vae as vae_mod
+
+# shared stream dim: llama hidden == t5 d_model in HiDream (both 4096)
+D_T5, D_LL = 16, 16
+
+
+def _tiny_configs():
+    tcfg = hd_mod.HiDreamConfig(
+        patch_size=2, in_channels=4, out_channels=4, num_layers=1,
+        num_single_layers=1, attention_head_dim=8, num_attention_heads=4,
+        caption_channels=(D_T5, D_LL), text_emb_dim=16 + 20,
+        num_routed_experts=2, num_activated_experts=1,
+        axes_dims_rope=(4, 2, 2), llama_layers=(0, 1), ffn_multiple_of=8)
+    llama_cfg = llama_mod.LlamaConfig(
+        vocab_size=99, hidden_size=D_LL, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0)
+    t5_cfg = t5_mod.T5Config(
+        vocab_size=99, d_model=D_T5, d_kv=4, d_ff=32, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16)
+    ccfg = clip_text.CLIPTextConfig(
+        vocab_size=99, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=32,
+        max_position_embeddings=16, eos_token_id=98)
+    ccfg2 = clip_text.CLIPTextConfig(
+        vocab_size=99, hidden_size=20, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=40,
+        max_position_embeddings=16, eos_token_id=98)
+    vcfg = vae_mod.VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                             norm_num_groups=4, latent_channels=4,
+                             scaling_factor=0.3611, shift_factor=0.1159)
+    return tcfg, llama_cfg, t5_cfg, ccfg, ccfg2, vcfg
+
+
+@pytest.fixture(scope="module")
+def tiny_hidream():
+    tcfg, llama_cfg, t5_cfg, ccfg, ccfg2, vcfg = _tiny_configs()
+    flat_sd = hd_mod.init_state_dict(tcfg, np.random.default_rng(0),
+                                     scale=0.3)
+    pipe = ph.HiDreamPipeline(
+        transformer_params=hd_mod.convert_hf_state_dict(flat_sd, tcfg),
+        transformer_config=tcfg,
+        clip_params=clip_text.init_params(np.random.default_rng(1), ccfg),
+        clip_config=ccfg, clip_tokenizer=ToyTokenizer(),
+        clip_params_2=clip_text.init_params(np.random.default_rng(2), ccfg2),
+        clip_config_2=ccfg2, clip_tokenizer_2=ToyTokenizer(),
+        t5_params=t5_mod.init_params(np.random.default_rng(3), t5_cfg),
+        t5_config=t5_cfg, t5_tokenizer=ToyTokenizer(),
+        llama_params=llama_mod.init_params(np.random.default_rng(4),
+                                           llama_cfg),
+        llama_config=llama_cfg, llama_tokenizer=ToyTokenizer(),
+        vae_params=vae_mod.init_params(vcfg, 5),
+        vae_config=vcfg,
+        scheduler_config={"_class_name": "FlowMatchEulerDiscreteScheduler",
+                          "shift": 3.0},
+        dtype=jnp.float32, max_sequence_length=12,
+    )
+    return pipe, flat_sd
+
+
+def test_generate_shape_and_determinism(tiny_hidream):
+    pipe, _ = tiny_hidream
+    a = pipe("a cat", num_inference_steps=2, guidance_scale=5.0, seed=3,
+             height=32, width=32)
+    assert a.shape == (1, 32, 32, 3) and a.dtype == np.uint8
+    b = pipe("a cat", num_inference_steps=2, guidance_scale=5.0, seed=3,
+             height=32, width=32)
+    np.testing.assert_array_equal(a, b)
+    c = pipe("a cat", num_inference_steps=2, guidance_scale=5.0, seed=4,
+             height=32, width=32)
+    assert (a != c).any()
+
+
+def test_prompt_conditioning_matters(tiny_hidream):
+    pipe, _ = tiny_hidream
+    a = pipe("cat", num_inference_steps=2, guidance_scale=5.0, seed=3,
+             height=32, width=32)
+    b = pipe("submarine sandwich", num_inference_steps=2, guidance_scale=5.0,
+             seed=3, height=32, width=32)
+    assert (a != b).any()
+
+
+def test_no_cfg_single_branch(tiny_hidream):
+    pipe, _ = tiny_hidream
+    a = pipe("cat", num_inference_steps=2, guidance_scale=0.0, seed=3,
+             height=32, width=32)
+    assert a.shape == (1, 32, 32, 3)
+
+
+def test_list_seed_distinct_samples(tiny_hidream):
+    pipe, _ = tiny_hidream
+    imgs = pipe("cat", num_inference_steps=2, seed=[5],
+                num_images_per_prompt=2, height=32, width=32)
+    assert imgs.shape[0] == 2
+    assert (imgs[0] != imgs[1]).any()
+
+
+def test_uce_edit_changes_output(tiny_hidream, tmp_path):
+    """Before/after A/B: edit the caption projections with the real edit
+    path (shared llama/t5 weights), overlay via load_uce_edits, and assert
+    the erased prompt's image changes."""
+    pipe, flat_sd = tiny_hidream
+    tcfg = pipe.transformer_config
+
+    base = pipe("van gogh painting", num_inference_steps=2,
+                guidance_scale=5.0, seed=7, height=32, width=32)
+
+    n_cp = tcfg.num_caption_projections
+    targets = {f"caption_projection.{i}.linear.weight":
+               np.asarray(flat_sd[f"caption_projection.{i}.linear.weight"])
+               for i in range(n_cp)}
+    res = edit_hd.HiDreamEditResources(
+        targets=targets, llama_layers=list(tcfg.llama_layers),
+        llama_params=pipe.llama_params, llama_config=pipe.llama_config,
+        llama_tokenizer=pipe.llama_tokenizer,
+        t5_params=pipe.t5_params, t5_config=pipe.t5_config,
+        t5_tokenizer=pipe.t5_tokenizer,
+        max_sequence_length=pipe.max_sequence_length,
+    )
+    edit_hd.run_erase(res, ["van gogh"], ["art"], [],
+                      erase_scale=5.0, save_dir=str(tmp_path), exp_name="e")
+    pipe.load_uce_edits(str(tmp_path / "e.safetensors"))
+    try:
+        edited = pipe("van gogh painting", num_inference_steps=2,
+                      guidance_scale=5.0, seed=7, height=32, width=32)
+        assert (base != edited).any()
+    finally:
+        pipe.transformer_params = hd_mod.convert_hf_state_dict(flat_sd, tcfg)
+
+
+def test_moe_gate_routes(rng):
+    """Dense top-k MoE: k=1 must pick exactly the argmax expert's output
+    weighted by its softmax score (norm_topk_prob=False semantics)."""
+    d, h, e = 8, 12, 3
+    p = {
+        "gate": {"weight": jnp.asarray(
+            rng.standard_normal((e, d)).astype(np.float32))},
+        "experts": {k: {"weight": jnp.asarray(
+            rng.standard_normal((e, din, dout)).astype(np.float32))}
+            for k, (din, dout) in
+            {"w1": (d, h), "w3": (d, h), "w2": (h, d)}.items()},
+        "shared": {k: {"weight": jnp.asarray(
+            rng.standard_normal(s).astype(np.float32))}
+            for k, s in {"w1": (d, h), "w3": (d, h), "w2": (h, d)}.items()},
+    }
+    x = jnp.asarray(rng.standard_normal((1, 4, d)).astype(np.float32))
+    out = np.asarray(hd_mod._moe(p, x, 1))
+
+    gw = np.asarray(p["gate"]["weight"])
+    scores = np.exp(x @ gw.T) / np.exp(x @ gw.T).sum(-1, keepdims=True)
+    ref = np.zeros_like(np.asarray(x))
+    for s in range(4):
+        ei = int(np.argmax(scores[0, s]))
+        xs = np.asarray(x)[0, s]
+        w1 = np.asarray(p["experts"]["w1"]["weight"])[ei]
+        w3 = np.asarray(p["experts"]["w3"]["weight"])[ei]
+        w2 = np.asarray(p["experts"]["w2"]["weight"])[ei]
+        silu = lambda v: v / (1 + np.exp(-v))
+        ref[0, s] = scores[0, s, ei] * ((silu(xs @ w1) * (xs @ w3)) @ w2)
+        sw1 = np.asarray(p["shared"]["w1"]["weight"])
+        sw3 = np.asarray(p["shared"]["w3"]["weight"])
+        sw2 = np.asarray(p["shared"]["w2"]["weight"])
+        ref[0, s] += (silu(xs @ sw1) * (xs @ sw3)) @ sw2
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)

@@ -8,7 +8,13 @@ from __future__ import annotations
 
 
 def register(sub) -> None:
-    from uce_tpu.cli import debias_cmd, edit_cmds, flux_gen_cmd, info_cmd
+    from uce_tpu.cli import (
+        debias_cmd,
+        edit_cmds,
+        flux_gen_cmd,
+        hidream_gen_cmd,
+        info_cmd,
+    )
     from uce_tpu.eval import (
         baselines,
         clip_classify,
@@ -35,4 +41,5 @@ def register(sub) -> None:
     nudenet.register_cli(sub)
     compare_grids.register_cli(sub)
     flux_gen_cmd.register_cli(sub)
+    hidream_gen_cmd.register_cli(sub)
     info_cmd.register_cli(sub)

@@ -1,0 +1,299 @@
+"""HiDream-I1 text-to-image pipeline (flow matching, quad text encoders).
+
+JAX-native equivalent of diffusers' ``HiDreamImagePipeline`` as
+instantiated by the reference (``trainscripts/uce_hidream_edit.py:16-64``;
+upstream's ``inference_hidream.ipynb`` blob is missing from the snapshot).
+Text conditioning: pooled CLIP-L + CLIP-G (concatenated), a T5 sequence
+stream, and Llama-3.1 hidden states (``output_hidden_states[1:]``) indexed
+by the transformer config's ``llama_layers`` — ``max_sequence_length=128``
+(``uce_hidream_edit.py:220``). The denoising loop is one ``lax.scan`` over
+a FlowMatchEuler plan; HiDream's transformer predicts the negated flow
+(the reference pipeline applies ``noise_pred = -noise_pred``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uce_tpu.diffusion import schedulers
+from uce_tpu.diffusion.pipeline_flux import (
+    compute_shift_mu,
+    make_img_ids,
+    pack_latents,
+    unpack_latents,
+)
+from uce_tpu.edit import embeddings as emb
+from uce_tpu.models import clip_text, hidream as hd_mod, llama as llama_mod
+from uce_tpu.models import t5 as t5_mod, unet as unet_mod, vae as vae_mod
+from uce_tpu.models.hf_loader import load_json, load_state_dict
+from uce_tpu.utils import torch_rng
+
+
+@dataclasses.dataclass
+class HiDreamPipeline:
+    transformer_params: dict
+    transformer_config: hd_mod.HiDreamConfig
+    clip_params: dict
+    clip_config: clip_text.CLIPTextConfig
+    clip_tokenizer: object
+    clip_params_2: dict
+    clip_config_2: clip_text.CLIPTextConfig
+    clip_tokenizer_2: object
+    t5_params: dict
+    t5_config: t5_mod.T5Config
+    t5_tokenizer: object
+    llama_params: dict
+    llama_config: llama_mod.LlamaConfig
+    llama_tokenizer: object
+    vae_params: dict
+    vae_config: vae_mod.VAEConfig
+    scheduler_config: dict
+    dtype: object = jnp.bfloat16
+    max_sequence_length: int = 128
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, llama_dir: str | None = None,
+                        dtype=jnp.bfloat16,
+                        max_sequence_length: int = 128) -> "HiDreamPipeline":
+        from transformers import AutoTokenizer
+
+        tcfg = hd_mod.HiDreamConfig.from_hf(
+            load_json(os.path.join(model_dir, "transformer", "config.json")))
+        tparams = hd_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "transformer", dtype=np.float32), tcfg)
+        tparams = unet_mod.cast_params(tparams, dtype)
+
+        def clip(sub, tok):
+            cfg = clip_text.CLIPTextConfig.from_hf(
+                load_json(os.path.join(model_dir, sub, "config.json")))
+            params = clip_text.convert_hf_state_dict(
+                load_state_dict(model_dir, sub, dtype=np.float32), cfg)
+            return params, cfg, AutoTokenizer.from_pretrained(
+                os.path.join(model_dir, tok))
+
+        cparams, ccfg, ctok = clip("text_encoder", "tokenizer")
+        cparams2, ccfg2, ctok2 = clip("text_encoder_2", "tokenizer_2")
+
+        t5cfg = t5_mod.T5Config.from_hf(
+            load_json(os.path.join(model_dir, "text_encoder_3",
+                                   "config.json")))
+        t5params = t5_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "text_encoder_3", dtype=np.float32),
+            t5cfg)
+        t5tok = AutoTokenizer.from_pretrained(
+            os.path.join(model_dir, "tokenizer_3"))
+
+        # Llama-3.1 ships separately (the reference loads it from
+        # meta-llama/Meta-Llama-3.1-8B-Instruct, uce_hidream_edit.py:44-50);
+        # fall back to an in-snapshot text_encoder_4 if present.
+        if llama_dir is None:
+            cand = os.path.join(model_dir, "text_encoder_4")
+            if os.path.isdir(cand):
+                llama_dir = cand
+            else:
+                raise ValueError(
+                    "HiDream needs the Llama-3.1 encoder: pass llama_dir")
+        lcfg = llama_mod.LlamaConfig.from_hf(
+            load_json(os.path.join(llama_dir, "config.json")))
+        lparams = llama_mod.convert_hf_state_dict(
+            load_state_dict(llama_dir, None,
+                            keys=lambda k: not k.startswith("lm_head"),
+                            dtype=np.float32), lcfg)
+        ltok_dir = (os.path.join(model_dir, "tokenizer_4")
+                    if os.path.isdir(os.path.join(model_dir, "tokenizer_4"))
+                    else llama_dir)
+        ltok = AutoTokenizer.from_pretrained(ltok_dir)
+
+        vcfg = vae_mod.VAEConfig.from_hf(
+            load_json(os.path.join(model_dir, "vae", "config.json")))
+        vparams = unet_mod.nest_state_dict(
+            load_state_dict(model_dir, "vae", dtype=np.float32), dtype)
+        sp = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+        scfg = (load_json(sp) if os.path.exists(sp)
+                else {"_class_name": "FlowMatchEulerDiscreteScheduler",
+                      "shift": 3.0})
+        return cls(
+            transformer_params=tparams, transformer_config=tcfg,
+            clip_params=cparams, clip_config=ccfg, clip_tokenizer=ctok,
+            clip_params_2=cparams2, clip_config_2=ccfg2,
+            clip_tokenizer_2=ctok2,
+            t5_params=t5params, t5_config=t5cfg, t5_tokenizer=t5tok,
+            llama_params=lparams, llama_config=lcfg, llama_tokenizer=ltok,
+            vae_params=vparams, vae_config=vcfg, scheduler_config=scfg,
+            dtype=dtype, max_sequence_length=max_sequence_length,
+        )
+
+    def load_uce_edits(self, safetensors_path: str) -> None:
+        """Overlay UCE-edited caption projections (uce_hidream_edit.py
+        artifacts: 'caption_projection.<i>.linear.weight' keys)."""
+        from safetensors.numpy import load_file
+
+        import re
+
+        edits = load_file(safetensors_path)
+        cp = self.transformer_params["caption_projection"]
+        n_llama = cp["llama"]["weight"].shape[0]
+        llama_w = np.array(cp["llama"]["weight"], np.float32)  # writable copy
+        for key, v in edits.items():
+            m = re.match(r"caption_projection\.(\d+)\.linear\.weight$", key)
+            if m is None:
+                print(f"load_uce_edits: skipped unknown key {key}")
+                continue
+            i = int(m.group(1))
+            w = np.swapaxes(np.asarray(v, np.float32), -1, -2)
+            if i < n_llama:
+                llama_w[i] = w
+            else:
+                cp["t5"]["weight"] = jnp.asarray(w, self.dtype)
+        cp["llama"]["weight"] = jnp.asarray(llama_w, self.dtype)
+
+    # --------------------------------------------------------------- text
+    def encode_prompts(self, prompts: Sequence[str]):
+        """Returns (t5 [B,S,D], llama [num_blocks, B, S, D] selected by
+        llama_layers, pooled [B, 768+1280])."""
+        pooled_parts = []
+        for params, cfg, tok in (
+            (self.clip_params, self.clip_config, self.clip_tokenizer),
+            (self.clip_params_2, self.clip_config_2, self.clip_tokenizer_2),
+        ):
+            ids, _ = emb.tokenize_batch(tok, list(prompts),
+                                        cfg.max_position_embeddings)
+            _, pooled, _ = clip_text.encode_tokens(params, jnp.asarray(ids),
+                                                   cfg)
+            pooled_parts.append(pooled)
+        pooled = jnp.concatenate(pooled_parts, axis=-1).astype(self.dtype)
+
+        ids_t, mask_t = emb.tokenize_batch(self.t5_tokenizer, list(prompts),
+                                           self.max_sequence_length)
+        t5_out = t5_mod.encode_tokens(
+            self.t5_params, jnp.asarray(ids_t), jnp.asarray(mask_t),
+            self.t5_config).astype(self.dtype)
+
+        ids_l, mask_l = emb.tokenize_batch(self.llama_tokenizer,
+                                           list(prompts),
+                                           self.max_sequence_length)
+        hidden = llama_mod.encode_tokens(
+            self.llama_params, jnp.asarray(ids_l), jnp.asarray(mask_l),
+            self.llama_config)
+        stack = hidden[1:]  # HF hidden_states[1:], uce_hidream_edit.py:72-91
+        sel = jnp.stack([stack[i] for i in
+                         self.transformer_config.llama_layers])
+        return t5_out, sel.astype(self.dtype), pooled
+
+    # ----------------------------------------------------------- generate
+    def __call__(
+        self,
+        prompt: str | Sequence[str],
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        num_images_per_prompt: int = 1,
+        seed: int = 0,
+        height: int = 1024,
+        width: int = 1024,
+        negative_prompt: str | Sequence[str] | None = None,
+    ) -> np.ndarray:
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
+        bsz = len(prompts)
+        do_cfg = guidance_scale > 1.0
+        t5_c, llama_c, pooled_c = self.encode_prompts(prompts)
+        if do_cfg:
+            if negative_prompt is None:
+                negatives = [""] * bsz
+            elif isinstance(negative_prompt, str):
+                negatives = [negative_prompt] * bsz
+            else:
+                negatives = [n for n in negative_prompt
+                             for _ in range(num_images_per_prompt)]
+            t5_u, llama_u, pooled_u = self.encode_prompts(negatives)
+            t5_e = jnp.concatenate([t5_u, t5_c], axis=0)
+            llama_e = jnp.concatenate([llama_u, llama_c], axis=1)
+            pooled_e = jnp.concatenate([pooled_u, pooled_c], axis=0)
+        else:
+            t5_e, llama_e, pooled_e = t5_c, llama_c, pooled_c
+
+        vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        lh, lw = height // vae_scale, width // vae_scale
+        lc = self.vae_config.latent_channels
+        if isinstance(seed, (int, np.integer)):
+            lat_np = torch_rng.randn((bsz, lh, lw, lc), seed)
+        else:
+            if len(seed) * num_images_per_prompt != bsz:
+                raise ValueError("len(seed) must match len(prompt)")
+            lat_np = np.concatenate([
+                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
+                for s in seed])
+        packed = pack_latents(jnp.asarray(lat_np, self.dtype))
+
+        use_dyn = self.scheduler_config.get("use_dynamic_shifting", False)
+        plan = schedulers.flow_match_euler_plan(
+            num_inference_steps,
+            shift=self.scheduler_config.get("shift", 3.0),
+            use_dynamic_shifting=use_dyn,
+            mu=compute_shift_mu(
+                packed.shape[1],
+                self.scheduler_config.get("base_image_seq_len", 256),
+                self.scheduler_config.get("max_image_seq_len", 4096),
+                self.scheduler_config.get("base_shift", 0.5),
+                self.scheduler_config.get("max_shift", 1.15),
+            ) if use_dyn else None,
+        )
+        img_ids = make_img_ids(lh, lw)
+        images = _hidream_generate_jit(
+            self, plan, packed, t5_e, llama_e, pooled_e,
+            float(guidance_scale), do_cfg, img_ids.tobytes(), (lh, lw))
+        return np.asarray(images)
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
+                               guidance_scale, do_cfg, ids_bytes, latent_hw):
+    lh, lw = latent_hw
+    img_ids = np.frombuffer(ids_bytes, np.float64).reshape(-1, 3)
+
+    def fn(params, vae_params, plan, packed, t5_e, llama_e, pooled_e):
+        sigmas = plan.tables["sigmas"]
+
+        def body(carry, i):
+            lat, _ = carry
+            t = plan.timesteps[i]
+            lat_in = (jnp.concatenate([lat, lat], axis=0) if do_cfg else lat)
+            pred = hd_mod.apply(
+                params, lat_in, t5_e, llama_e, pooled_e,
+                jnp.broadcast_to(t, (lat_in.shape[0],)), img_ids, config)
+            v = -pred  # HiDream predicts the negated flow
+            if do_cfg:
+                unc, txt = jnp.split(v, 2, axis=0)
+                v = unc + guidance_scale * (txt - unc)
+            new = lat.astype(jnp.float32) + (
+                sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)
+            return (new.astype(lat.dtype), 0.0), None
+
+        (final, _), _ = jax.lax.scan(
+            body, (packed, 0.0), jnp.arange(plan.num_calls))
+        lat = unpack_latents(final, lh, lw).astype(jnp.float32)
+        lat = lat / vae_config.scaling_factor + vae_config.shift_factor
+        imgs = vae_mod.decode(vae_params, lat.astype(packed.dtype),
+                              vae_config)
+        imgs = (imgs.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+        return jnp.round(imgs * 255.0).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
+                          guidance, do_cfg, ids_bytes, latent_hw):
+    fn = _compiled_hidream_generate(
+        pipe.transformer_config, pipe.vae_config,
+        (plan.kind, plan.num_calls),
+        (packed.shape, str(packed.dtype)),
+        guidance, do_cfg, ids_bytes, latent_hw)
+    return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
+              t5_e, llama_e, pooled_e)
