@@ -70,3 +70,91 @@ def test_mesh_shapes():
     assert dict(m.shape) == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         mesh_mod.make_mesh(3, 2)
+
+
+def test_tensor_parallel_flux_matches_replicated():
+    import jax.numpy as jnp
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    params = flux_mod.init_params(cfg, 0, scale=0.1)
+    rng = np.random.default_rng(0)
+    B, s_img, s_txt = 4, 16, 8
+    lat = jnp.asarray(rng.standard_normal((B, s_img, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((B, s_txt, 16)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, 24)), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    img_ids = make_img_ids(8, 8)
+    txt_ids = np.zeros((s_txt, 3))
+
+    def fwd(p, lat, t5, pooled):
+        return flux_mod.apply(p, lat, t5, pooled, t, img_ids, txt_ids, cfg)
+
+    ref = np.asarray(fwd(params, lat, t5, pooled))
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_flux_params(params, mesh)
+    with mesh:
+        out = jax.jit(fwd)(sp, mesh_mod.shard_batch(lat, mesh),
+                           mesh_mod.shard_batch(t5, mesh),
+                           mesh_mod.shard_batch(pooled, mesh))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flux_tp_specs_cover_hot_weights():
+    """The head-sharded/row-sharded rules must actually hit the attention
+    and MLP weights (guards against silent everything-replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from uce_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=1, num_single_layers=1,
+        attention_head_dim=8, num_attention_heads=4,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        axes_dims_rope=(4, 2, 2))
+    params = flux_mod.init_params(cfg, 0)
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_flux_params(params, mesh)
+    tb = sp["transformer_blocks"]
+    sb = sp["single_transformer_blocks"]
+
+    def spec(x):
+        return x.sharding.spec
+
+    assert spec(tb["attn"]["to_q"]["weight"]) == P(None, None, "model")
+    assert spec(tb["attn"]["add_k_proj"]["weight"]) == P(None, None, "model")
+    assert spec(tb["attn"]["to_out"]["0"]["weight"]) == P(None, "model", None)
+    assert spec(tb["ff"]["net"]["0"]["proj"]["weight"]) == P(
+        None, None, "model")
+    assert spec(tb["ff"]["net"]["2"]["weight"]) == P(None, "model", None)
+    assert spec(sb["proj_mlp"]["weight"]) == P(None, None, "model")
+    assert spec(sb["proj_out"]["weight"]) == P(None, "model", None)
+    assert spec(tb["norm1"]["linear"]["weight"]) == P()
+
+
+def test_unet_ffn_tp_specs():
+    from jax.sharding import PartitionSpec as P
+
+    from uce_tpu.models import unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=32,
+        attention_head_dim=2, norm_num_groups=4)
+    params = unet_mod.init_params(cfg, 0)
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_unet_params(params, mesh)
+    attn_block = sp["down_blocks"]["0"]["attentions"]["0"][
+        "transformer_blocks"]["0"]
+    ff = attn_block["ff"]["net"]
+    assert ff["0"]["proj"]["weight"].sharding.spec == P(None, "model")
+    assert ff["2"]["weight"].sharding.spec == P("model", None)

@@ -42,30 +42,82 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _path_keys(path: tuple) -> list:
+    return [getattr(p, "key", None) for p in path]
+
+
 def _is_attention_qkv(path: tuple) -> bool:
-    keys = [getattr(p, "key", None) for p in path]
-    return any(k in ("to_q", "to_k", "to_v") for k in keys)
+    return any(k in ("to_q", "to_k", "to_v") for k in _path_keys(path))
 
 
 def _is_attention_out(path: tuple) -> bool:
-    keys = [getattr(p, "key", None) for p in path]
-    return any(k == "to_out" for k in keys)
+    return any(k == "to_out" for k in _path_keys(path))
 
 
 def shard_unet_params(params, mesh: Mesh):
-    """Tensor-parallel layout for UNet attention projections.
+    """Tensor-parallel layout for the UNet.
 
-    to_q/to_k/to_v weights [in, out]: shard ``out`` (head dim) over 'model';
-    to_out.0 weights [in, out]: shard ``in`` over 'model' (so the attention
-    block computes head-local results and XLA inserts one psum at to_out).
-    Everything else replicated. With n_model == 1 this is a no-op layout.
+    * attention to_q/to_k/to_v weights [in, out]: shard ``out`` (head axis)
+      over 'model'; to_out.0 weights [in, out]: shard ``in`` over 'model'
+      (head-local attention, one psum at the output projection).
+    * GEGLU FFN: ff.net.0.proj out-sharded, ff.net.2 in-sharded (column/
+      row-parallel MLP; the GEGLU half-split costs one resharding — an
+      interleaved column layout is a later optimization).
+    Convs, norms, and time embeddings stay replicated. With n_model == 1
+    this is a no-op layout.
     """
 
     def spec_for(path, leaf):
+        keys = _path_keys(path)
         if leaf.ndim == 2 and _is_attention_qkv(path):
             return P(None, "model")
         if leaf.ndim == 2 and _is_attention_out(path):
             return P("model", None)
+        if leaf.ndim == 2 and "ff" in keys:
+            return P(None, "model") if "proj" in keys else P("model", None)
+        return P()
+
+    def place(path, leaf):
+        leaf = jnp.asarray(leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec_for(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+# FLUX DiT tensor-parallel rules. Leaves are layer-STACKED ([L, ...]); the
+# leading axis is depth, so 2D specs gain a leading None.
+_FLUX_COL = ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+             "add_v_proj", "proj_mlp")  # output (head/hidden) axis sharded
+_FLUX_ROW = ("to_out", "to_add_out", "proj_out")  # input axis sharded
+
+
+def shard_flux_params(params, mesh: Mesh):
+    """Tensor-parallel layout for the FLUX joint transformer.
+
+    Head-sharded joint attention (q/k/v + context add_*_proj out-sharded;
+    to_out/to_add_out/single-block proj_out in-sharded so XLA inserts one
+    psum per attention) and column/row-parallel MLPs (ff/ff_context
+    net.0.proj out-sharded, net.2 in-sharded; single-block proj_mlp
+    out-sharded fuses into the row-parallel proj_out). AdaLN modulation,
+    norms, embedders replicated. Requires num_attention_heads divisible by
+    the 'model' axis.
+    """
+
+    def spec_for(path, leaf):
+        keys = _path_keys(path)
+        stacked = any(k in ("transformer_blocks", "single_transformer_blocks")
+                      for k in keys)
+        if not stacked or "norm" in keys or any(
+                k and str(k).startswith("norm") for k in keys):
+            return P()
+        lead = (None,) if stacked else ()
+        w = leaf.ndim == len(lead) + 2
+        if any(k in _FLUX_COL for k in keys) or (
+                "ff" in keys or "ff_context" in keys) and "proj" in keys:
+            return P(*lead, None, "model") if w else P(*lead, "model")
+        if any(k in _FLUX_ROW for k in keys) or (
+                ("ff" in keys or "ff_context" in keys) and "2" in keys):
+            return P(*lead, "model", None) if w else P(*lead)
         return P()
 
     def place(path, leaf):
