@@ -19,19 +19,27 @@ TINY_TEXT_CONFIG = clip_text.CLIPTextConfig(
 
 
 class ToyTokenizer:
-    """Deterministic word-hash tokenizer with the HF call signature."""
+    """Deterministic word-hash tokenizer with the HF call signature.
+
+    Uses crc32 (NOT builtin hash(), which is salted per process) so
+    tokenization — and everything downstream of it — is reproducible
+    across test processes.
+    """
 
     model_max_length = 16
 
     def __call__(self, prompts, padding=None, max_length=16, truncation=True,
                  return_tensors=None, **kw):
+        import zlib
+
         if isinstance(prompts, str):
             prompts = [prompts]
         ids = np.full((len(prompts), max_length), PAD, np.int32)
         mask = np.zeros((len(prompts), max_length), np.int32)
         for i, p in enumerate(prompts):
             words = p.lower().split()
-            toks = [BOS] + [3 + (hash(w) % 90) for w in words][: max_length - 2] + [EOS]
+            toks = [BOS] + [3 + (zlib.crc32(w.encode()) % 90)
+                            for w in words][: max_length - 2] + [EOS]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
         return {"input_ids": ids, "attention_mask": mask}
