@@ -117,12 +117,24 @@ def bench_generation(tiny: bool, batch: int, steps: int) -> float:
     compile_s = time.perf_counter() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
+    try:  # XLA's own flop count for MFU attribution
+        flops = jax.jit(generate).lower(
+            params, vae_params, plan, latents, context
+        ).compile().cost_analysis()["flops"]
+    except Exception:
+        flops = None
+
     n_runs = 2
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = np.asarray(generate(params, vae_params, plan, latents, context))
     sec_per_run = (time.perf_counter() - t0) / n_runs
     del out
+    if flops:
+        tflops = flops / sec_per_run / 1e12
+        print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
+              f"-> {tflops:.1f} TFLOP/s, MFU {tflops/112:.1%} "
+              f"(112 TFLOP/s bf16 peak)", file=sys.stderr)
     return batch / sec_per_run
 
 
@@ -133,7 +145,36 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)  # measured sweet spot
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--skip_edit", action="store_true")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="attribute per-step cost to op families by "
+                         "measured ablation deltas (stderr)")
     args = ap.parse_args()
+
+    if args.breakdown:
+        import os
+
+        steps = args.steps
+        results = {}
+        for abl in ("", "attn", "gn", "ln", "attn,gn,ln"):
+            os.environ["UCE_ABLATE"] = abl
+            r = bench_generation(args.tiny, args.batch, steps)
+            results[abl or "full"] = args.batch / r  # sec per run
+            print(f"ablate[{abl or 'none'}]: {r:.4f} img/s", file=sys.stderr)
+        os.environ["UCE_ABLATE"] = ""
+        full = results["full"]
+        per_step = full / steps * 1000
+        print(f"\nper-step breakdown at batch {args.batch} "
+              f"(CFG batch {2 * args.batch}), {steps} steps:",
+              file=sys.stderr)
+        for abl, label in (("attn", "attention"), ("gn", "group norms"),
+                           ("ln", "layer norms")):
+            delta = (full - results[abl]) / steps * 1000
+            print(f"  {label:12s} {delta:6.1f} ms "
+                  f"({delta / per_step:5.1%} of {per_step:.1f} ms)",
+                  file=sys.stderr)
+        rest = results["attn,gn,ln"] / steps * 1000
+        print(f"  convs+rest   {rest:6.1f} ms (residual)", file=sys.stderr)
+        return 0
 
     if not args.skip_edit:
         edit_s = bench_edit()

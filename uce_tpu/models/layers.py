@@ -7,9 +7,21 @@ HWIO and linear weights to [in, out] once at load so every forward is plain
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def ablated(name: str) -> bool:
+    """True when UCE_ABLATE (comma list: gn, ln, attn) disables this op.
+
+    Read at trace time only — zero runtime cost. Used by ``bench.py
+    --breakdown`` to attribute per-step cost to op families by measured
+    ablation deltas (XLA fusion effects included), never in production.
+    """
+    return name in os.environ.get("UCE_ABLATE", "").split(",")
 
 
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
@@ -40,6 +52,8 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over NHWC (or N...C) tensors, fp32 statistics."""
+    if ablated("gn"):
+        return x
     orig_dtype = x.dtype
     c = x.shape[-1]
     g = num_groups
@@ -53,6 +67,8 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-5):
+    if ablated("ln"):
+        return x
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
     var = x32.var(-1, keepdims=True)

@@ -119,6 +119,13 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     import os
 
+    from uce_tpu.models.layers import ablated
+
+    if ablated("attn"):  # bench.py --breakdown cost attribution only
+        # cheap stand-in that keeps q/k/v projections alive (no DCE) and
+        # matches the output shape for any kv length
+        return q + v.mean(axis=-2, keepdims=True) + 0.0 * k.mean()
+
     impl = os.environ.get("UCE_ATTN_IMPL", impl)  # experiment override
     use_flash = impl == "flash" or (
         impl == "auto" and q.shape[-2] >= 2048 and q.shape[-2] == k.shape[-2]
