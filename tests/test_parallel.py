@@ -158,3 +158,40 @@ def test_unet_ffn_tp_specs():
     ff = attn_block["ff"]["net"]
     assert ff["0"]["proj"]["weight"].sharding.spec == P(None, "model")
     assert ff["2"]["weight"].sharding.spec == P("model", None)
+
+
+def test_tensor_parallel_hidream_matches_replicated():
+    import jax.numpy as jnp
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import hidream as hd_mod
+
+    cfg = hd_mod.HiDreamConfig(
+        patch_size=2, in_channels=4, out_channels=4, num_layers=1,
+        num_single_layers=1, attention_head_dim=8, num_attention_heads=4,
+        caption_channels=(16, 16), text_emb_dim=20, num_routed_experts=2,
+        num_activated_experts=1, axes_dims_rope=(4, 2, 2),
+        llama_layers=(0, 1), ffn_multiple_of=8)
+    params = hd_mod.init_params(cfg, 0, scale=0.1)
+    rng = np.random.default_rng(0)
+    B = 4
+    x = jnp.asarray(rng.standard_normal((B, 16, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((B, 6, 16)), jnp.float32)
+    llama = jnp.asarray(rng.standard_normal((2, B, 5, 16)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, 20)), jnp.float32)
+    t = jnp.full((B,), 500.0)
+    img_ids = make_img_ids(8, 8)
+
+    def fwd(p, x, t5, ll, po):
+        return hd_mod.apply(p, x, t5, ll, po, t, img_ids, cfg)
+
+    ref = np.asarray(fwd(params, x, t5, llama, pooled))
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_hidream_params(params, mesh)
+    with mesh:
+        out = jax.jit(fwd)(
+            sp, mesh_mod.shard_batch(x, mesh), mesh_mod.shard_batch(t5, mesh),
+            jax.device_put(llama, mesh_mod.replicated(mesh)),
+            mesh_mod.shard_batch(pooled, mesh))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

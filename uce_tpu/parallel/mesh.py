@@ -127,6 +127,49 @@ def shard_flux_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+# HiDream MoE DiT rules: same head-sharded attention as FLUX (image and
+# text projections), expert-parallel routed FFNs (experts axis over
+# 'model'), column/row-parallel shared/text SwiGLU.
+_HIDREAM_COL = ("to_q", "to_k", "to_v", "to_q_t", "to_k_t", "to_v_t")
+_HIDREAM_ROW = ("to_out", "to_out_t")
+
+
+def shard_hidream_params(params, mesh: Mesh):
+    """Tensor-parallel layout for the HiDream-I1 MoE DiT.
+
+    Attention q/k/v (both streams) column-sharded over heads, output
+    projections row-sharded; SwiGLU w1/w3 column-sharded, w2 row-sharded
+    (shared experts, text FFN); routed experts shard their leading expert
+    axis over 'model' — expert parallelism, the natural MoE axis. The
+    full-dim q/k RMSNorm scales stay replicated (they multiply the sharded
+    projection output elementwise; XLA reshards as needed).
+    """
+
+    def spec_for(path, leaf):
+        keys = _path_keys(path)
+        stacked = any(k in ("double_stream_blocks", "single_stream_blocks")
+                      for k in keys)
+        if not stacked or any(
+                k and str(k).startswith(("q_rms", "k_rms", "adaLN"))
+                for k in keys):
+            return P()
+        w = leaf.ndim == 3  # [L, in, out] stacked linear weight
+        if "experts" in keys:  # [L, E, in, out]: expert parallelism
+            return P(None, "model") if leaf.ndim >= 2 else P()
+        if any(k in _HIDREAM_COL for k in keys) or any(
+                k in ("w1", "w3") for k in keys):
+            return P(None, None, "model") if w else P(None, "model")
+        if any(k in _HIDREAM_ROW for k in keys) or "w2" in keys:
+            return P(None, "model", None) if w else P()
+        return P()
+
+    def place(path, leaf):
+        leaf = jnp.asarray(leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec_for(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def shard_batch(tree, mesh: Mesh):
     """Place batch-leading arrays with the data-parallel sharding."""
     sh = batch_sharding(mesh)
