@@ -117,8 +117,9 @@ def bench_generation(tiny: bool, batch: int, steps: int) -> float:
     compile_s = time.perf_counter() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
-    try:  # XLA's own flop count for MFU attribution
-        flops = jax.jit(generate).lower(
+    try:  # XLA's own flop count for MFU attribution (generate is already
+        # jitted; lower().compile() hits the same executable cache)
+        flops = generate.lower(
             params, vae_params, plan, latents, context
         ).compile().cost_analysis()["flops"]
     except Exception:
@@ -133,6 +134,7 @@ def bench_generation(tiny: bool, batch: int, steps: int) -> float:
     if flops:
         tflops = flops / sec_per_run / 1e12
         print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
+              f"(XLA-counted; TPU convs may be undercounted) "
               f"-> {tflops:.1f} TFLOP/s, MFU {tflops/112:.1%} "
               f"(112 TFLOP/s bf16 peak)", file=sys.stderr)
     return batch / sec_per_run
@@ -151,16 +153,27 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.breakdown:
+        # One subprocess per config: accumulating five compiled programs +
+        # param sets in one process was observed to poison the timings.
+        import json as json_mod
         import os
+        import subprocess
 
         steps = args.steps
         results = {}
         for abl in ("", "attn", "gn", "ln", "attn,gn,ln"):
-            os.environ["UCE_ABLATE"] = abl
-            r = bench_generation(args.tiny, args.batch, steps)
-            results[abl or "full"] = args.batch / r  # sec per run
-            print(f"ablate[{abl or 'none'}]: {r:.4f} img/s", file=sys.stderr)
-        os.environ["UCE_ABLATE"] = ""
+            env = dict(os.environ, UCE_ABLATE=abl)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--skip_edit",
+                 "--batch", str(args.batch), "--steps", str(steps)]
+                + (["--tiny"] if args.tiny else []),
+                env=env, capture_output=True, text=True, timeout=1800)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            img_s = json_mod.loads(line)["value"]
+            results[abl or "full"] = args.batch / img_s  # sec per run
+            print(f"ablate[{abl or 'none'}]: {img_s:.4f} img/s",
+                  file=sys.stderr)
         full = results["full"]
         per_step = full / steps * 1000
         print(f"\nper-step breakdown at batch {args.batch} "
