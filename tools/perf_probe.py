@@ -163,3 +163,65 @@ if __name__ == "__main__":
         probe_gn()
     if which in ("conv", "all"):
         probe_conv()
+
+
+def probe_conv_variants():
+    """Alternative conv formulations vs XLA's native conv."""
+    for (B, HW, C) in ((16, 64, 320), (16, 32, 640), (16, 16, 1280)):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, HW, HW, C)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.02,
+                        jnp.bfloat16)
+        flops = 2 * B * HW * HW * 9 * C * C
+
+        def native(c):
+            return jax.lax.conv_general_dilated(
+                c, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def im2col(c):
+            p = jax.lax.conv_general_dilated_patches(
+                c, (3, 3), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return (p.reshape(B, HW * HW, 9 * C)
+                    @ w.transpose(2, 0, 1, 3).reshape(9 * C, C)
+                    ).reshape(B, HW, HW, C)
+
+        def taps9(c):
+            pad = jnp.pad(c, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = None
+            for dy in range(3):
+                for dx in range(3):
+                    shard = pad[:, dy:dy + HW, dx:dx + HW, :]
+                    y = shard.reshape(B, HW * HW, C) @ w[dy, dx]
+                    out = y if out is None else out + y
+            return out.reshape(B, HW, HW, C)
+
+        names = [("native", native), ("im2col", im2col), ("taps9", taps9)]
+        for name, body in names:
+            try:
+                fn, x0 = chain(body, x, 10)
+                t = timeit(fn, x0) / 10
+                print(f"conv {B}x{HW}^2x{C} {name:8s}: {t*1000:.2f} ms "
+                      f"({flops/t/1e12:.1f} TFLOP/s)")
+            except Exception as e:
+                print(f"conv {B}x{HW}^2x{C} {name}: FAILED {type(e).__name__}: {e}")
+
+        # channel-padded native (multiple of 128 lanes)
+        Cp = ((C + 127) // 128) * 128
+        if Cp != C:
+            xp = jnp.pad(x, ((0, 0),) * 3 + ((0, Cp - C),))
+            wp = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
+
+            def padded(c):
+                return jax.lax.conv_general_dilated(
+                    c, wp, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            fn, x0 = chain(padded, xp, 10)
+            t = timeit(fn, x0) / 10
+            print(f"conv {B}x{HW}^2x{C} padded->{Cp}: {t*1000:.2f} ms "
+                  f"(effective {flops/t/1e12:.1f} TFLOP/s)")
+
+if __name__ == "__main__" and (len(sys.argv) > 1 and sys.argv[1] == "convvar"):
+    probe_conv_variants()
