@@ -117,26 +117,24 @@ def bench_generation(tiny: bool, batch: int, steps: int) -> float:
     compile_s = time.perf_counter() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
-    try:  # XLA's own flop count for MFU attribution (generate is already
-        # jitted; lower().compile() hits the same executable cache)
-        flops = generate.lower(
-            params, vae_params, plan, latents, context
-        ).compile().cost_analysis()["flops"]
-    except Exception:
-        flops = None
-
     n_runs = 2
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = np.asarray(generate(params, vae_params, plan, latents, context))
     sec_per_run = (time.perf_counter() - t0) / n_runs
     del out
-    if flops:
+    if not tiny:
+        # Analytic FLOP budget, cross-checked against XLA's CPU-backend
+        # cost_analysis (tools/flop_count.py): SD1.4 UNet fwd = 788 GFLOP
+        # at 64x64 latents, VAE decode = 2504 GFLOP at 512x512.  The TPU
+        # backend's own cost_analysis undercounts convs ~20x, so it is
+        # not used here.  v5e bf16 peak: 197 TFLOP/s (measured attainable
+        # on this chip: ~157 on chained large matmuls — docs/PERF.md).
+        flops = batch * (2 * plan.num_calls * 0.788137 + 2.503597) * 1e12
         tflops = flops / sec_per_run / 1e12
         print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
-              f"(XLA-counted; TPU convs may be undercounted) "
-              f"-> {tflops:.1f} TFLOP/s, MFU {tflops/112:.1%} "
-              f"(112 TFLOP/s bf16 peak)", file=sys.stderr)
+              f"analytic -> {tflops:.1f} TFLOP/s, MFU {tflops/197:.1%} "
+              f"(197 TFLOP/s v5e bf16 peak)", file=sys.stderr)
     return batch / sec_per_run
 
 
