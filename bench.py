@@ -55,7 +55,8 @@ def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
     return (time.perf_counter() - t0) / n
 
 
-def bench_generation(tiny: bool, batch: int, steps: int) -> float:
+def bench_generation(tiny: bool, batch: int, steps: int,
+                     quantize: bool = False) -> float:
     """Returns images/second for 512x512 SD v1.4-architecture generation."""
     import jax
     import jax.numpy as jnp
@@ -85,6 +86,16 @@ def bench_generation(tiny: bool, batch: int, steps: int) -> float:
         unet_mod.init_state_dict(config, np.random.default_rng(0)), dtype)
     vae_params = unet_mod.nest_state_dict(
         vae_mod.init_state_dict(vae_config, np.random.default_rng(1)), dtype)
+    if quantize:
+        from uce_tpu.models import quantize as quantize_mod
+
+        params = quantize_mod.quantize_params(params)
+        vae_params = quantize_mod.quantize_params(
+            vae_params, quantize_mod.VAE_SKIP)
+        print("W8A8 int8: UNet %d/%d, VAE %d/%d weights quantized"
+              % (*quantize_mod.count_quantized(params),
+                 *quantize_mod.count_quantized(vae_params)),
+              file=sys.stderr)
     jax.block_until_ready((params, vae_params))
     plan = schedulers.pndm_plan(steps)
 
@@ -148,6 +159,9 @@ def main() -> int:
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute per-step cost to op families by "
                          "measured ablation deltas (stderr)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 deployment mode (2x MXU rate on v5e); "
+                         "the headline metric stays bf16")
     args = ap.parse_args()
 
     if args.breakdown:
@@ -193,10 +207,14 @@ def main() -> int:
               f"(target < 1000 ms, {1.0/edit_s:.1f}x headroom)",
               file=sys.stderr)
 
-    img_per_s = bench_generation(args.tiny, args.batch, args.steps)
+    img_per_s = bench_generation(args.tiny, args.batch, args.steps,
+                                 args.quantize)
+    metric = "sd14_512_50step_img_per_s" if not args.tiny \
+        else "tiny_smoke_img_per_s"
+    if args.quantize:
+        metric += "_w8a8"
     result = {
-        "metric": "sd14_512_50step_img_per_s" if not args.tiny
-        else "tiny_smoke_img_per_s",
+        "metric": metric,
         "value": round(img_per_s, 4),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 2.0, 4),

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uce_tpu.ops import quant
+
 
 def ablated(name: str) -> bool:
     """True when UCE_ABLATE (comma list: gn, ln, attn) disables this op.
@@ -24,9 +26,13 @@ def ablated(name: str) -> bool:
     return name in os.environ.get("UCE_ABLATE", "").split(",")
 
 
-def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+def conv2d(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None,
            stride: int = 1, padding: int | str = 1) -> jnp.ndarray:
-    """NHWC conv. kernel HWIO."""
+    """NHWC conv. kernel HWIO, or a quantized-int8 dict (ops/quant.py)."""
+    if quant.is_quantized(kernel):
+        if not isinstance(padding, int):
+            raise ValueError("quantized conv supports integer padding only")
+        return quant.qconv2d(x, kernel, bias, stride, padding)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -42,7 +48,9 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
     return y
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None):
+def linear(x: jnp.ndarray, w, b: jnp.ndarray | None = None):
+    if quant.is_quantized(w):
+        return quant.qlinear(x, w, b)
     y = x @ w
     if b is not None:
         y = y + b
@@ -91,9 +99,66 @@ def _group_norm_mm(x, scale, bias, g, eps):
     return (x32 * gamma + beta).astype(x.dtype)
 
 
+_gn_pallas_warned = False
+
+
+def group_norm_act(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
+                   act: str = "none"):
+    """GroupNorm followed by optional SiLU.
+
+    A Pallas fused kernel exists (ops/pallas/group_norm.py, traffic-floor
+    2R+1W) but is opt-in via ``UCE_GN_IMPL=pallas``: measured IN CONTEXT
+    it is a net loss (UNet fwd 129.8 -> 142.9 ms at CFG batch 16,
+    tools/trace_prof.py) because XLA already fuses the GN stats/apply
+    into the surrounding convs and the custom call breaks those fusion
+    chains.  Kept for A/B and for toolchains where that fusion regresses.
+    """
+    global _gn_pallas_warned
+    if ablated("gn"):
+        return silu(x) if act == "silu" else x
+    if (os.environ.get("UCE_GN_IMPL") == "pallas"
+            and jax.default_backend() == "tpu"
+            and x.dtype == jnp.bfloat16):
+        from uce_tpu.ops.pallas import group_norm as gn_pallas
+
+        if gn_pallas.supported(x, num_groups):
+            try:
+                return gn_pallas.group_norm_act(
+                    x, scale, bias, num_groups, eps, act)
+            except (ValueError, NotImplementedError, RuntimeError) as exc:
+                if not _gn_pallas_warned:
+                    _gn_pallas_warned = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "Pallas group_norm failed (%s: %s); falling back "
+                        "to XLA for the rest of this process.",
+                        type(exc).__name__, exc)
+    y = group_norm(x, scale, bias, num_groups, eps)
+    return silu(y) if act == "silu" else y
+
+
 def layer_norm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the last axis, fp32 statistics.
+
+    bf16 inputs take the matmul-statistics path (same trick as
+    ``group_norm``): row sums of [x, x^2] via one tiny MXU matmul instead
+    of two fp32 reduce passes, then a single fused scale-shift pass.  The
+    one-pass E[x^2]-mu^2 variance error sits below bf16 input
+    quantization, so the fast path is bf16-only.
+    """
     if ablated("ln"):
         return x
+    if x.dtype == jnp.bfloat16:
+        c = x.shape[-1]
+        x32 = x.astype(jnp.float32)
+        ones = jnp.ones((c, 1), jnp.float32)
+        s1 = (x32 @ ones) / c                    # [..., 1] row mean
+        s2 = ((x32 * x32) @ ones) / c            # [..., 1] row E[x^2]
+        inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)
+        gamma = scale.astype(jnp.float32) * inv
+        beta = bias.astype(jnp.float32) - s1 * gamma
+        return (x32 * gamma + beta).astype(x.dtype)
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
     var = x32.var(-1, keepdims=True)

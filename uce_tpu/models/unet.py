@@ -29,6 +29,7 @@ from uce_tpu.models.layers import (
     conv2d,
     conv_kernel,
     group_norm,
+    group_norm_act,
     layer_norm,
     linear,
     linear_weight,
@@ -130,12 +131,14 @@ SDXL_UNET_CONFIG = UNetConfig(
 # ---------------------------------------------------------------------------
 
 def _resnet(p, x, temb, groups: int):
-    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], groups)
-    h = conv2d(silu(h), p["conv1"]["weight"], p["conv1"]["bias"])
+    h = group_norm_act(x, p["norm1"]["weight"], p["norm1"]["bias"], groups,
+                       act="silu")
+    h = conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"])
     t = linear(silu(temb), p["time_emb_proj"]["weight"], p["time_emb_proj"]["bias"])
     h = h + t[:, None, None, :]
-    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], groups)
-    h = conv2d(silu(h), p["conv2"]["weight"], p["conv2"]["bias"])
+    h = group_norm_act(h, p["norm2"]["weight"], p["norm2"]["bias"], groups,
+                       act="silu")
+    h = conv2d(h, p["conv2"]["weight"], p["conv2"]["bias"])
     if "conv_shortcut" in p:
         x = conv2d(x, p["conv_shortcut"]["weight"], p["conv_shortcut"]["bias"],
                    padding=0)
@@ -143,12 +146,32 @@ def _resnet(p, x, temb, groups: int):
 
 
 def _attention(p, x, context, heads: int):
-    """diffusers Attention: to_q/to_k/to_v (no bias), to_out.0 (bias)."""
+    """diffusers Attention: to_q/to_k/to_v (no bias), to_out.0 (bias).
+
+    Projections are fused at trace time (QKV for self-attention, KV for
+    cross-attention): the weight concat is loop-invariant, so XLA hoists
+    it out of the denoising scan, and one [c, 3c] matmul tiles the MXU
+    better than three [c, c] ones (320 -> 2.5 x 128-lane tiles).
+    """
+    from uce_tpu.ops.quant import concat_weights
+
     b, tq, d = x.shape
     ctx = x if context is None else context
-    q = linear(x, p["to_q"]["weight"])
-    k = linear(ctx, p["to_k"]["weight"])
-    v = linear(ctx, p["to_v"]["weight"])
+    if context is None:
+        wqkv = concat_weights([p["to_q"]["weight"], p["to_k"]["weight"],
+                               p["to_v"]["weight"]])
+    else:
+        wqkv = None
+    if wqkv is not None:
+        q, k, v = jnp.split(linear(x, wqkv), 3, axis=-1)
+    else:
+        wkv = concat_weights([p["to_k"]["weight"], p["to_v"]["weight"]])
+        q = linear(x, p["to_q"]["weight"])
+        if wkv is not None:
+            k, v = jnp.split(linear(ctx, wkv), 2, axis=-1)
+        else:
+            k = linear(ctx, p["to_k"]["weight"])
+            v = linear(ctx, p["to_v"]["weight"])
     dh = q.shape[-1] // heads
     q = q.reshape(b, tq, heads, dh).transpose(0, 2, 1, 3)
     k = k.reshape(b, ctx.shape[1], heads, dh).transpose(0, 2, 1, 3)
@@ -181,8 +204,8 @@ def _spatial_transformer(p, x, context, heads: int, cfg: UNetConfig):
     """Transformer2DModel: GN -> proj_in -> blocks -> proj_out, residual."""
     b, h, w, c = x.shape
     residual = x
-    x = group_norm(x, p["norm"]["weight"], p["norm"]["bias"],
-                   cfg.norm_num_groups, eps=1e-6)
+    x = group_norm_act(x, p["norm"]["weight"], p["norm"]["bias"],
+                       cfg.norm_num_groups, eps=1e-6)
     if cfg.use_linear_projection:
         x = x.reshape(b, h * w, c)
         x = linear(x, p["proj_in"]["weight"], p["proj_in"]["bias"])
@@ -298,9 +321,9 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
             x = _upsample(bp["upsamplers"]["0"], x)
 
     # 6. out
-    x = group_norm(x, params["conv_norm_out"]["weight"],
-                   params["conv_norm_out"]["bias"], groups)
-    x = conv2d(silu(x), params["conv_out"]["weight"], params["conv_out"]["bias"])
+    x = group_norm_act(x, params["conv_norm_out"]["weight"],
+                       params["conv_norm_out"]["bias"], groups, act="silu")
+    x = conv2d(x, params["conv_out"]["weight"], params["conv_out"]["bias"])
     return x
 
 

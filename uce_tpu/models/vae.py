@@ -12,7 +12,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uce_tpu.models.layers import conv2d, group_norm, linear, silu
+from uce_tpu.models.layers import (
+    conv2d,
+    group_norm,
+    group_norm_act,
+    linear,
+    silu,
+)
 from uce_tpu.models.unet import nest_state_dict
 from uce_tpu.ops.attention import dot_product_attention
 
@@ -46,10 +52,12 @@ SD_VAE_CONFIG = VAEConfig()
 
 
 def _resnet(p, x, groups):
-    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], groups, eps=1e-6)
-    h = conv2d(silu(h), p["conv1"]["weight"], p["conv1"]["bias"])
-    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], groups, eps=1e-6)
-    h = conv2d(silu(h), p["conv2"]["weight"], p["conv2"]["bias"])
+    h = group_norm_act(x, p["norm1"]["weight"], p["norm1"]["bias"], groups,
+                       eps=1e-6, act="silu")
+    h = conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"])
+    h = group_norm_act(h, p["norm2"]["weight"], p["norm2"]["bias"], groups,
+                       eps=1e-6, act="silu")
+    h = conv2d(h, p["conv2"]["weight"], p["conv2"]["bias"])
     if "conv_shortcut" in p:
         x = conv2d(x, p["conv_shortcut"]["weight"], p["conv_shortcut"]["bias"],
                    padding=0)

@@ -127,8 +127,12 @@ def dot_product_attention(
         return q + v.mean(axis=-2, keepdims=True) + 0.0 * k.mean()
 
     impl = os.environ.get("UCE_ATTN_IMPL", impl)  # experiment override
+    # 'auto': flash for mask-free self-attention with seq >= 1024 — wins at
+    # both SD shapes it covers (s=4096 d=40: 11.8 vs 15.1 ms; s=1024 d=80:
+    # 3.5 vs 4.6 ms at CFG batch 16; tools/attn_probe.py). s=256 stays XLA
+    # (flash measured slower: 3.6 vs 3.2 ms).
     use_flash = impl == "flash" or (
-        impl == "auto" and q.shape[-2] >= 2048 and q.shape[-2] == k.shape[-2]
+        impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
     )
     if (use_flash and not force_xla and mask is None and not causal
             and jax.default_backend() == "tpu"):
