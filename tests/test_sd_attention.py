@@ -1,0 +1,56 @@
+"""Pallas SD attention kernel vs the XLA reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uce_tpu.ops.attention import _xla_attention
+from uce_tpu.ops.pallas import sd_attention as sdk
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("b,h,sq,skv,d", [
+    (2, 2, 256, 256, 40),    # self, level-0 head dim
+    (1, 4, 512, 512, 80),    # self, level-1
+    (2, 2, 64, 64, 160),     # mid block
+    (2, 2, 256, 77, 40),     # cross-attention, CLIP context
+    (1, 2, 512, 77, 160),
+])
+def test_matches_xla(rng, b, h, sq, skv, d):
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.bfloat16)
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, None, False, scale)
+    got = sdk.sd_attention(q, k, v, scale, interpret=True)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.02, rtol=0.05)
+
+
+def test_softmax_stability(rng):
+    # large logits: max-subtraction must prevent overflow
+    q = jnp.asarray(rng.standard_normal((1, 1, 64, 40)) * 30, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 1, 64, 40)) * 30, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 1, 64, 40)), jnp.bfloat16)
+    got = sdk.sd_attention(q, k, v, 40 ** -0.5, interpret=True)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
+def test_supported_gate():
+    q = jnp.zeros((16, 8, 4096, 40), jnp.bfloat16)
+    assert sdk.supported(q, jnp.zeros((16, 8, 4096, 40), jnp.bfloat16))
+    assert sdk.supported(q, jnp.zeros((16, 8, 77, 40), jnp.bfloat16))
+    fp32 = jnp.zeros((2, 2, 256, 40), jnp.float32)
+    assert not sdk.supported(fp32, fp32)
+    # FLUX-scale joint attention fits too (s=4352 d=128 -> ~6.7 MB)
+    flux = jnp.zeros((1, 24, 4352, 128), jnp.bfloat16)
+    assert sdk.supported(flux, flux)
+    # very long sequences blow the K/V + logits VMEM budget
+    big = jnp.zeros((1, 8, 8192, 256), jnp.bfloat16)
+    assert not sdk.supported(big, big)

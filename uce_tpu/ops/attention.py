@@ -127,10 +127,26 @@ def dot_product_attention(
         return q + v.mean(axis=-2, keepdims=True) + 0.0 * k.mean()
 
     impl = os.environ.get("UCE_ATTN_IMPL", impl)  # experiment override
-    # 'auto': flash for mask-free self-attention with seq >= 1024 — wins at
-    # both SD shapes it covers (s=4096 d=40: 11.8 vs 15.1 ms; s=1024 d=80:
-    # 3.5 vs 4.6 ms at CFG batch 16; tools/attn_probe.py). s=256 stays XLA
-    # (flash measured slower: 3.6 vs 3.2 ms).
+    # 'sdk': unpadded-head-dim Pallas kernel (ops/pallas/sd_attention.py).
+    # In 'auto' it takes the long mask-free self-attention shapes, where it
+    # beats the padded flash path by skipping the HBM d->128 pads (s=4096
+    # d=40: 11.1 vs 13.8 ms; s=1024 d=80: 2.2 vs 2.9 ms at CFG batch 16).
+    # Cross-attention (kv=77) and s=256 measured SLOWER than XLA (tiny kv
+    # blocks underfill the lanes) — those stay on the XLA path.
+    use_sdk = impl == "sdk" or (
+        impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
+    )
+    if (use_sdk and not force_xla and mask is None and not causal
+            and jax.default_backend() == "tpu"):
+        from uce_tpu.ops.pallas import sd_attention as sdk
+
+        if sdk.supported(q, k):
+            try:
+                return sdk.sd_attention(q, k, v, scale)
+            except (ValueError, NotImplementedError, RuntimeError) as exc:
+                _warn_flash_fallback(exc)
+    # flash: padded d->128 Pallas flash kernel — kept for shapes the sdk
+    # kernel's VMEM gate rejects (very long sequences) and as impl='flash'.
     use_flash = impl == "flash" or (
         impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
     )
