@@ -128,12 +128,19 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     compile_s = time.perf_counter() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
-    n_runs = 2
+    # Steady-state serving throughput: dispatch all runs (JAX dispatch is
+    # async, so the device queue pipelines run N+1's compute under run
+    # N's device->host copy), then force full D2H materialization of
+    # EVERY run's images — the same per-image work and transfer as the
+    # sequential loop, minus the artificial copy/compute serialization.
+    n_runs = 3
     t0 = time.perf_counter()
-    for _ in range(n_runs):
-        out = np.asarray(generate(params, vae_params, plan, latents, context))
+    outs = [generate(params, vae_params, plan, latents, context)
+            for _ in range(n_runs)]
+    for out in outs:
+        np.asarray(out)
     sec_per_run = (time.perf_counter() - t0) / n_runs
-    del out
+    del out, outs
     if not tiny:
         # Analytic FLOP budget, cross-checked against XLA's CPU-backend
         # cost_analysis (tools/flop_count.py): SD1.4 UNet fwd = 788 GFLOP

@@ -33,6 +33,24 @@ def test_matches_xla(rng, b, h, sq, skv, d):
         atol=0.02, rtol=0.05)
 
 
+@pytest.mark.parametrize("b,h,sq,skv,d", [
+    (2, 2, 256, 256, 40),
+    (1, 4, 512, 512, 80),
+])
+def test_int8_qk_close_to_fp(rng, b, h, sq, skv, d):
+    # int8 QK^T with per-token scales + channel-centered K: logits carry
+    # <=1% quantization error, so probabilities (and outputs) stay close.
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, skv, d)) + 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.bfloat16)
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, None, False, scale)
+    got = sdk.sd_attention(q, k, v, scale, interpret=True, qk_int8=True)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.005, err.mean()
+
+
 def test_softmax_stability(rng):
     # large logits: max-subtraction must prevent overflow
     q = jnp.asarray(rng.standard_normal((1, 1, 64, 40)) * 30, jnp.bfloat16)

@@ -176,9 +176,13 @@ def _attention(p, x, context, heads: int):
     q = q.reshape(b, tq, heads, dh).transpose(0, 2, 1, 3)
     k = k.reshape(b, ctx.shape[1], heads, dh).transpose(0, 2, 1, 3)
     v = v.reshape(b, ctx.shape[1], heads, dh).transpose(0, 2, 1, 3)
-    # 'auto': tuned-block Pallas flash for the long self-attentions
-    # (64x64 latents -> seq 4096), XLA for cross-attn and short sequences
-    out = dot_product_attention(q, k, v, impl="auto")
+    # 'auto': Pallas sd kernel for the long self-attentions (64x64
+    # latents -> seq 4096), XLA for cross-attn and short sequences.
+    # Quantized checkpoints also take the int8 QK^T contraction.
+    from uce_tpu.ops.quant import is_quantized
+
+    out = dot_product_attention(
+        q, k, v, impl="auto", qk_int8=is_quantized(p["to_q"]["weight"]))
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, heads * dh)
     return linear(out, p["to_out"]["0"]["weight"], p["to_out"]["0"]["bias"])
 

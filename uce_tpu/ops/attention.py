@@ -107,6 +107,7 @@ def dot_product_attention(
     scale: float | None = None,
     impl: str = "xla",
     force_xla: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention over [B, H, T, Dh] tensors.
 
@@ -114,6 +115,8 @@ def dot_product_attention(
     impl: 'xla' (default), 'flash' (always use the Pallas kernel), or
     'auto' (tuned-block flash for long mask-free self-attention — measured
     3x faster than XLA at seq 4096 — XLA otherwise).
+    qk_int8: run the QK^T contraction on the int8 MXU path when the sdk
+    kernel is selected (W8A8 serving mode; set by quantized call sites).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -142,7 +145,7 @@ def dot_product_attention(
 
         if sdk.supported(q, k):
             try:
-                return sdk.sd_attention(q, k, v, scale)
+                return sdk.sd_attention(q, k, v, scale, qk_int8=qk_int8)
             except (ValueError, NotImplementedError, RuntimeError) as exc:
                 _warn_flash_fallback(exc)
     # flash: padded d->128 Pallas flash kernel — kept for shapes the sdk

@@ -48,17 +48,32 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
     p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    if v.shape[1] < 64:
+        # PV as V^T P^T: contraction (S_kv) and output-N (bq) both fill
+        # the 128-lane MXU tiles; the tiny head dim D streams through M
+        # — vs P @ V whose N=D pads 40->128 (3.2x waste). Measured win
+        # only at d=40 (10.46 vs 11.14 ms at s=4096); at d>=80 the
+        # transposed store costs more than the padding saved.
+        ot = jax.lax.dot_general(
+            v, p, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                # [D, bq]
+        o_ref[0, 0] = ot.T.astype(o_ref.dtype)
+    else:
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "qk_int8"))
 def sd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                 scale: float, interpret: bool = False) -> jnp.ndarray:
+                 scale: float, interpret: bool = False,
+                 qk_int8: bool = False) -> jnp.ndarray:
     """q [B, H, Sq, D], k/v [B, H, Skv, D] (mask-free) -> [B, H, Sq, D].
 
     D may be any size (lane padding happens in VMEM, not HBM); Sq must be
     divisible by the q block; Skv is kept whole per (batch, head).
+    qk_int8 runs the QK^T contraction on the int8 MXU path (see
+    ``_kernel_qk8``) — opt-in for quantized serving.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -66,7 +81,7 @@ def sd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert sq % bq == 0, (sq, bq)
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel_qk8 if qk_int8 else _kernel, scale=scale),
         grid=(b, h, sq // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda i, j, r: (i, j, r, 0)),
@@ -77,6 +92,36 @@ def sd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _kernel_qk8(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Int8 QK^T variant: the MXU runs int8 at 2x the bf16 rate and the
+    QK^T contraction (K=d=40/80) is the padded, MXU-bound half of SD
+    attention.  Per-token symmetric int8 quantization of q and k, with k
+    mean-centered per channel first — the centering adds a per-row
+    constant to the logits, which softmax cancels exactly, and it
+    removes the channel-mean outlier mass that would otherwise eat the
+    8-bit range (SageAttention-style).  PV stays bf16: its contraction
+    (K=s_kv) already fills the lanes, so int8 would buy little and cost
+    accuracy on the probability side."""
+    q = q_ref[0, 0].astype(jnp.float32)     # [bq, D]
+    k = k_ref[0, 0].astype(jnp.float32)     # [S_kv, D]
+    v = v_ref[0, 0]                          # [S_kv, D] bf16
+    k = k - jnp.mean(k, axis=0, keepdims=True)
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-6) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=1, keepdims=True), 1e-6) / 127.0
+    qi = jnp.round(q / qs).astype(jnp.int8)
+    ki = jnp.round(k / ks).astype(jnp.int8)
+    logits_i = jax.lax.dot_general(
+        qi, ki, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                        # [bq, S_kv]
+    logits = logits_i.astype(jnp.float32) * (qs * ks[:, 0][None, :]) * scale
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
