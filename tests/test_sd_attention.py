@@ -69,6 +69,9 @@ def test_supported_gate():
     # FLUX-scale joint attention fits too (s=4352 d=128 -> ~6.7 MB)
     flux = jnp.zeros((1, 24, 4352, 128), jnp.bfloat16)
     assert sdk.supported(flux, flux)
-    # very long sequences blow the K/V + logits VMEM budget
-    big = jnp.zeros((1, 8, 8192, 256), jnp.bfloat16)
+    # s=8192 d=256 fits via a 128-row q block (adaptive choice)
+    long = jnp.zeros((1, 8, 8192, 256), jnp.bfloat16)
+    assert sdk.supported(long, long)
+    # but wide-head very long sequences blow the K/V residency budget
+    big = jnp.zeros((1, 8, 8192, 512), jnp.bfloat16)
     assert not sdk.supported(big, big)

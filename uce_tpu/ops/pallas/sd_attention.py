@@ -32,9 +32,30 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# Logits scratch [block_q, S_kv] fp32 is the VMEM driver: 256 x 4096 x 4
-# = 4 MB, plus K/V lane-padded (2 x 2 MB at s=4096 d=40) and I/O blocks.
-_BLOCK_Q = 256
+# Logits scratch [block_q, S_kv] fp32 is the VMEM driver (Mosaic reuses
+# it for the exp/normalize passes), plus lane-padded K/V residency and
+# the q/o I/O blocks.  Measured at s=4096 d=40: bq=512 9.60 ms, 256
+# 10.46, 128 12.01; 1024 exceeds the 16 MB scoped-vmem limit (compiler
+# reported 20.84 M).  Blocks are picked per shape: the largest of
+# (512, 256, 128, sq) that divides sq and fits the budget.
+_BLOCK_CANDIDATES = (512, 256, 128)
+_VMEM_BUDGET = 14 * 1024 * 1024  # 16 MB scoped limit minus slack
+
+
+def _pick_block_q(sq: int, skv: int, d: int) -> int | None:
+    import os
+
+    dp = ((d + 127) // 128) * 128
+    override = os.environ.get("UCE_SDK_BLOCK_Q")
+    cands = ((int(override),) if override
+             else _BLOCK_CANDIDATES + ((sq,) if sq < 128 else ()))
+    for bq in cands:
+        if bq > sq or sq % bq:
+            continue
+        vmem = bq * skv * 4 + 2 * skv * dp * 2 + 2 * bq * dp * 2
+        if vmem <= _VMEM_BUDGET:
+            return bq
+    return None
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -77,8 +98,8 @@ def sd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = min(_BLOCK_Q, sq)
-    assert sq % bq == 0, (sq, bq)
+    bq = _pick_block_q(sq, skv, d)
+    assert bq is not None, (sq, skv, d)
 
     return pl.pallas_call(
         functools.partial(_kernel_qk8 if qk_int8 else _kernel, scale=scale),
@@ -128,10 +149,4 @@ def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     if q.ndim != 4 or q.dtype != jnp.bfloat16:
         return False
     b, h, sq, d = q.shape
-    skv = k.shape[2]
-    if sq % min(_BLOCK_Q, sq):
-        return False
-    # logits scratch + K/V residency bound (lane-padded to 128)
-    dp = ((d + 127) // 128) * 128
-    vmem = min(_BLOCK_Q, sq) * skv * 4 + 2 * skv * dp * 2
-    return vmem <= 10 * 1024 * 1024
+    return _pick_block_q(sq, k.shape[2], d) is not None
