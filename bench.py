@@ -156,12 +156,109 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     return batch / sec_per_run
 
 
+def bench_flux(batch: int = 4) -> float:
+    """FLUX-schnell protocol (reference: inference_flux.ipynb cell 4 —
+    4 steps, CFG 0, max_sequence_length 256) at 512x512, HALF-DEPTH DiT
+    (9 dual + 19 single blocks, ~6 GB bf16): the full 12 B-param model
+    exceeds a single v5e's 16 GB HBM in bf16 (multi-chip TP territory —
+    parallel/mesh.py shard_flux_params), so the single-chip number is a
+    per-block-honest proxy; scale by ~2x for full depth. Secondary
+    metric on stderr; returns images/second."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import flux as flux_mod
+    from uce_tpu.models import unet as unet_mod
+
+    config = flux_mod.FluxConfig(guidance_embeds=False,  # schnell
+                                 num_layers=9, num_single_layers=19)
+    # Initialize on DEVICE: the host->device tunnel moves ~30 MB/s, so
+    # shipping ~6 GB of host-initialized weights would dominate the
+    # bench. Build the tree with zero-page host placeholders (calloc'd
+    # np.zeros — no RAM touched, no entropy wasted), then materialize
+    # every big leaf with jax.random directly on the chip.
+    # (TPU matmul/softmax timing is value-independent, so constant fills
+    # preserve the measurement while skipping host RNG, a 13 GB host
+    # materialization, and per-shape eager-compile round-trips: build
+    # the shape tree from a 1-block config, replicate the repeated
+    # block subtrees, then run ONE jitted fill program on the chip.)
+    small = flux_mod.FluxConfig(guidance_embeds=False,
+                                num_layers=1, num_single_layers=1)
+    proto = flux_mod.init_params(small, 0, 0.02)
+
+    class _Spec:  # sentinel leaf: (shape, fill value)
+        def __init__(self, shape, val):
+            self.shape, self.val = shape, val
+
+    def _respec(tree, depth):
+        # block params are scan-stacked with a leading layer axis —
+        # widen it from the 1-layer proto to the benched depth
+        # fill: 1.0 for 1-D leaves (norm scales), 0.0 elsewhere — the
+        # values only need to keep the arithmetic finite, not realistic
+        return jax.tree.map(
+            lambda l: _Spec((depth,) + l.shape[1:] if depth else l.shape,
+                            1.0 if l.ndim == 1 else 0.0), tree)
+
+    spec_tree = {
+        k: _respec(v, {"transformer_blocks": config.num_layers,
+                       "single_transformer_blocks":
+                           config.num_single_layers}.get(k))
+        for k, v in proto.items()}
+    specs, treedef = jax.tree.flatten(
+        spec_tree, is_leaf=lambda x: isinstance(x, _Spec))
+    del proto, spec_tree
+
+    @jax.jit
+    def _fill():
+        return [jnp.full(s.shape, s.val, jnp.bfloat16) for s in specs]
+
+    params = jax.tree.unflatten(treedef, _fill())
+    _ = unet_mod  # keep import layout parallel to the SD bench
+    rng = np.random.default_rng(0)
+    s_img, s_txt = 1024, 256  # 512x512 -> 32x32 packed 2x2 patches
+    lat = jnp.asarray(rng.standard_normal((batch, s_img, 64)), jnp.bfloat16)
+    t5 = jnp.asarray(rng.standard_normal((batch, s_txt, 4096)) * 0.1,
+                     jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((batch, 768)) * 0.1,
+                         jnp.bfloat16)
+    # 512x512 -> 64x64 latents -> 32x32 packed patches (ids take the
+    # latent dims and halve internally)
+    img_ids, txt_ids = make_img_ids(64, 64), np.zeros((s_txt, 3))
+    sigmas = jnp.linspace(1.0, 0.0, 5)
+
+    @jax.jit
+    def generate(params, lat, t5, pooled):
+        def step(carry, i):
+            z = carry
+            t = jnp.full((batch,), sigmas[i], jnp.float32)
+            v = flux_mod.apply(params, z, t5, pooled, t, img_ids, txt_ids,
+                               config)
+            return (z + (sigmas[i + 1] - sigmas[i]) * v).astype(z.dtype), None
+
+        z, _ = jax.lax.scan(step, lat, jnp.arange(4))
+        return z
+
+    np.asarray(generate(params, lat, t5, pooled))  # compile + first run
+    n_runs = 3
+    t0 = time.perf_counter()
+    outs = [generate(params, lat, t5, pooled) for _ in range(n_runs)]
+    for out in outs:
+        np.asarray(out)
+    sec_per_run = (time.perf_counter() - t0) / n_runs
+    return batch / sec_per_run
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test mode (tiny model, CPU-friendly)")
     ap.add_argument("--batch", type=int, default=8)  # measured sweet spot
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--flux", action="store_true",
+                    help="also time the FLUX-schnell 4-step DiT protocol "
+                         "(secondary metric, stderr)")
     ap.add_argument("--skip_edit", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute per-step cost to op families by "
@@ -213,6 +310,12 @@ def main() -> int:
         print(f"100-concept edit: {edit_s*1000:.1f} ms "
               f"(target < 1000 ms, {1.0/edit_s:.1f}x headroom)",
               file=sys.stderr)
+
+    if args.flux:
+        flux_img_s = bench_flux()
+        print(f"flux-schnell 512x512 4-step half-depth DiT: "
+              f"{flux_img_s:.3f} img/s (secondary; ~/2 for full depth; "
+              "excludes T5/VAE)", file=sys.stderr)
 
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
                                  args.quantize)
