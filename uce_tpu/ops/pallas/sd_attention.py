@@ -58,6 +58,15 @@ def _pick_block_q(sq: int, skv: int, d: int) -> int | None:
     return None
 
 
+def _pv_flip_max() -> int:
+    """Head-dim threshold below which PV runs transposed (see _kernel).
+    Tunable for probes via UCE_SDK_PV_FLIP_MAX; 64 is the measured
+    crossover at the production block sizes."""
+    import os
+
+    return int(os.environ.get("UCE_SDK_PV_FLIP_MAX", 64))
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]                      # [bq, D] bf16
     k = k_ref[0, 0]                      # [S_kv, D] bf16
@@ -69,7 +78,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
     p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
-    if v.shape[1] < 64:
+    if v.shape[1] < _pv_flip_max():
         # PV as V^T P^T: contraction (S_kv) and output-N (bq) both fill
         # the 128-lane MXU tiles; the tiny head dim D streams through M
         # — vs P @ V whose N=D pads 40->128 (3.2x waste). Measured win
