@@ -170,15 +170,11 @@ def bench_flux(batch: int = 4) -> float:
 
     from uce_tpu.diffusion.pipeline_flux import make_img_ids
     from uce_tpu.models import flux as flux_mod
-    from uce_tpu.models import unet as unet_mod
 
     config = flux_mod.FluxConfig(guidance_embeds=False,  # schnell
                                  num_layers=9, num_single_layers=19)
-    # Initialize on DEVICE: the host->device tunnel moves ~30 MB/s, so
-    # shipping ~6 GB of host-initialized weights would dominate the
-    # bench. Build the tree with zero-page host placeholders (calloc'd
-    # np.zeros — no RAM touched, no entropy wasted), then materialize
-    # every big leaf with jax.random directly on the chip.
+    # Initialize on DEVICE: the host->device tunnel moves ~30 MB/s and a
+    # host init materializes ~13 GB fp32, so neither is benchable.
     # (TPU matmul/softmax timing is value-independent, so constant fills
     # preserve the measurement while skipping host RNG, a 13 GB host
     # materialization, and per-shape eager-compile round-trips: build
@@ -215,7 +211,6 @@ def bench_flux(batch: int = 4) -> float:
         return [jnp.full(s.shape, s.val, jnp.bfloat16) for s in specs]
 
     params = jax.tree.unflatten(treedef, _fill())
-    _ = unet_mod  # keep import layout parallel to the SD bench
     rng = np.random.default_rng(0)
     s_img, s_txt = 1024, 256  # 512x512 -> 32x32 packed 2x2 patches
     lat = jnp.asarray(rng.standard_normal((batch, s_img, 64)), jnp.bfloat16)
