@@ -120,3 +120,25 @@ def test_vae_encode_decode_roundtrip_shapes(vae_params):
     assert mean.shape == (1, 8, 8, 4) and logvar.shape == (1, 8, 8, 4)
     out = vae_mod.decode(vae_params, mean, TINY_VAE)
     assert out.shape == (1, 16, 16, 3)
+
+
+def test_split_skip_matches_concat(unet_params, monkeypatch):
+    """UCE_SPLIT_SKIP up-block path (no materialized skip concat) must
+    match the concat path; tiny config has a group boundary that does NOT
+    align with the [x, res] channel partition (16+8 cat, group size 6),
+    exercising the additive-stats gather."""
+    rng = np.random.default_rng(3)
+    params = unet_mod.cast_params(unet_params, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.bfloat16)
+    ctx = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.bfloat16)
+    t = jnp.asarray([10.0, 20.0])
+
+    monkeypatch.delenv("UCE_SPLIT_SKIP", raising=False)
+    ref = np.asarray(
+        unet_mod.apply(params, x, t, ctx, TINY_UNET), np.float32)
+    monkeypatch.setenv("UCE_SPLIT_SKIP", "1")
+    out = np.asarray(
+        unet_mod.apply(params, x, t, ctx, TINY_UNET), np.float32)
+    # one extra fp32->bf16 rounding on two convs; everything else identical
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    assert np.abs(out - ref).mean() < 2e-3

@@ -138,6 +138,59 @@ def group_norm_act(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
     return silu(y) if act == "silu" else y
 
 
+def group_norm_act_split(xs, scale, bias, num_groups: int = 32,
+                         eps: float = 1e-5, act: str = "none"):
+    """GroupNorm(+SiLU) over the CHANNEL CONCATENATION of ``xs`` without
+    materializing the concat.
+
+    Exact by construction: group sums are additive over any channel
+    partition (groups need not align with the part boundary — per-channel
+    gamma/beta are gathered from the per-group stats), so this computes
+    the same statistics as ``group_norm(concat(xs, -1))``. Used by the
+    UNet up-block skip path (UCE_SPLIT_SKIP) to avoid the concat copy.
+    Returns one normalized tensor per input part.
+    """
+    g = num_groups
+    widths = [x.shape[-1] for x in xs]
+    c_total = sum(widths)
+    gsz = c_total // g
+    b = xs[0].shape[0]
+    n = xs[0].shape[1] * xs[0].shape[2] * gsz
+
+    s1 = jnp.zeros((b, g), jnp.float32)
+    s2 = jnp.zeros((b, g), jnp.float32)
+    offset = 0
+    parts32 = []
+    for x, w in zip(xs, widths):
+        ind = np.zeros((w, g), np.float32)
+        ind[np.arange(w), (offset + np.arange(w)) // gsz] = 1.0
+        ind = jnp.asarray(ind)
+        x32 = x.astype(jnp.float32)
+        parts32.append(x32)
+        s1 = s1 + jnp.einsum("bhwc,cg->bg", x32, ind)
+        s2 = s2 + jnp.einsum("bhwc,cg->bg", x32 * x32, ind)
+        offset += w
+    s1, s2 = s1 / n, s2 / n
+    inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)  # [b, g]
+
+    group_of = np.arange(c_total) // gsz
+    scale32 = scale.astype(jnp.float32)
+    bias32 = bias.astype(jnp.float32)
+    gamma = scale32[None, :] * inv[:, group_of]            # [b, c_total]
+    beta = bias32[None, :] - s1[:, group_of] * gamma
+    outs = []
+    offset = 0
+    for x, x32, w in zip(xs, parts32, widths):
+        ga = gamma[:, offset:offset + w][:, None, None, :]
+        be = beta[:, offset:offset + w][:, None, None, :]
+        y = x32 * ga + be
+        if act == "silu":
+            y = jax.nn.silu(y)
+        outs.append(y.astype(x.dtype))
+        offset += w
+    return outs
+
+
 def layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis, fp32 statistics.
 

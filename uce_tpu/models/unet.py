@@ -145,6 +145,58 @@ def _resnet(p, x, temb, groups: int):
     return x + h
 
 
+def _split_skip() -> bool:
+    """UCE_SPLIT_SKIP=1 routes up-block resnets through ``_resnet_split``
+    (skip concat never materialized). Trace-time only; default off until
+    the end-to-end bench A/B decides (docs/PERF.md)."""
+    import os
+
+    return os.environ.get("UCE_SPLIT_SKIP", "0") == "1"
+
+
+def _conv_part(x, kernel, padding):
+    """Bias-free conv half with fp32 accumulation exposed, so summing two
+    channel-partition halves matches the single concat conv to fp32
+    precision (one final rounding instead of one per half)."""
+    pad = [(padding, padding), (padding, padding)]
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _resnet_split(p, x, res, temb, groups: int):
+    """Up-block resnet over the channel concat [x, res] WITHOUT building
+    the concat: GN stats are additive over the channel partition
+    (group_norm_act_split) and conv-over-concat = sum of convs over the
+    parts. Arithmetic identical to ``_resnet(concat)`` up to one fp32
+    rounding; avoids one full activation write+read per up-block resnet.
+    """
+    from uce_tpu.models.layers import group_norm_act_split
+
+    c1 = x.shape[-1]
+    hx, hr = group_norm_act_split(
+        (x, res), p["norm1"]["weight"], p["norm1"]["bias"], groups,
+        act="silu")
+    w1 = p["conv1"]["weight"]
+    h32 = (_conv_part(hx, w1[:, :, :c1, :], 1)
+           + _conv_part(hr, w1[:, :, c1:, :], 1))
+    h = (h32 + p["conv1"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    t = linear(silu(temb), p["time_emb_proj"]["weight"],
+               p["time_emb_proj"]["bias"])
+    h = h + t[:, None, None, :]
+    h = group_norm_act(h, p["norm2"]["weight"], p["norm2"]["bias"], groups,
+                       act="silu")
+    h = conv2d(h, p["conv2"]["weight"], p["conv2"]["bias"])
+    ws = p["conv_shortcut"]["weight"]
+    sc32 = (_conv_part(x, ws[:, :, :c1, :], 0)
+            + _conv_part(res, ws[:, :, c1:, :], 0))
+    sc = (sc32 + p["conv_shortcut"]["bias"].astype(jnp.float32)
+          ).astype(x.dtype)
+    return sc + h
+
+
 def _attention(p, x, context, heads: int):
     """diffusers Attention: to_q/to_k/to_v (no bias), to_out.0 (bias).
 
@@ -315,8 +367,16 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
         rev = n_blocks - 1 - bi
         for li in range(cfg.layers_per_block + 1):
             res = res_stack.pop()
-            x = jnp.concatenate([x, res], axis=-1)
-            x = _resnet(bp["resnets"][str(li)], x, emb, groups)
+            rp = bp["resnets"][str(li)]
+            from uce_tpu.ops.quant import is_quantized
+
+            if (_split_skip() and "conv_shortcut" in rp
+                    and x.dtype == jnp.bfloat16
+                    and not is_quantized(rp["conv1"]["weight"])):
+                x = _resnet_split(rp, x, res, emb, groups)
+            else:
+                x = jnp.concatenate([x, res], axis=-1)
+                x = _resnet(rp, x, emb, groups)
             if has_attn:
                 x = _spatial_transformer(
                     bp["attentions"][str(li)], x, ehs, cfg.heads(rev), cfg
