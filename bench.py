@@ -245,6 +245,25 @@ def bench_flux(batch: int = 4) -> float:
     return batch / sec_per_run
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache next to this file.
+
+    The axon tunnel's remote compiler is congestion-sensitive (measured
+    128 s .. 1032 s for the SAME headline program), so a cold-cache bench
+    run can dwarf the measurement wall-clock. Executable serialization
+    works on this plugin (verified), making re-runs compile in seconds.
+    Best-effort: any failure falls back to cold compiles.
+    """
+    import os
+
+    from uce_tpu.utils.compile_cache import enable
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    if enable(cache_dir) is None:
+        print("compile cache unavailable; cold compiles", file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
@@ -262,6 +281,7 @@ def main() -> int:
                     help="W8A8 int8 deployment mode (2x MXU rate on v5e); "
                          "the headline metric stays bf16")
     args = ap.parse_args()
+    _enable_compile_cache()
 
     if args.breakdown:
         # One subprocess per config: accumulating five compiled programs +

@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from uce_tpu.utils import compile_cache
+
+    compile_cache.enable()  # repeat invocations skip the remote recompile
     parser = build_parser()
     args = parser.parse_args(argv)
     return args.func(args)
