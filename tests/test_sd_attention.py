@@ -66,12 +66,32 @@ def test_supported_gate():
     assert sdk.supported(q, jnp.zeros((16, 8, 77, 40), jnp.bfloat16))
     fp32 = jnp.zeros((2, 2, 256, 40), jnp.float32)
     assert not sdk.supported(fp32, fp32)
-    # FLUX-scale joint attention fits too (s=4352 d=128 -> ~6.7 MB)
+    # FLUX-scale joint attention fits too (s=4352 d=128 -> ~13 MB)
     flux = jnp.zeros((1, 24, 4352, 128), jnp.bfloat16)
     assert sdk.supported(flux, flux)
-    # s=8192 d=256 fits via a 128-row q block (adaptive choice)
-    long = jnp.zeros((1, 8, 8192, 256), jnp.bfloat16)
-    assert sdk.supported(long, long)
-    # but wide-head very long sequences blow the K/V residency budget
-    big = jnp.zeros((1, 8, 8192, 512), jnp.bfloat16)
-    assert not sdk.supported(big, big)
+    # VAE decoder mid-block (s=4096, d=512, single head): double-buffered
+    # K/V residency alone is 16 MB, which Mosaic confirmed by OOMing at
+    # compile time ("exceeded the vmem limit by 1.00M" on
+    # bf16[12,1,4096,512]) when the old estimator let it through.
+    vae = jnp.zeros((12, 1, 4096, 512), jnp.bfloat16)
+    assert not sdk.supported(vae, vae)
+    # wide-head long sequences likewise blow the K/V residency budget
+    for shape in ((1, 8, 8192, 256), (1, 8, 8192, 512)):
+        big = jnp.zeros(shape, jnp.bfloat16)
+        assert not sdk.supported(big, big)
+
+
+def test_block_picks_stable():
+    """Pin the measured-optimal q blocks for the production shapes so an
+    estimator change can't silently shift them (each entry was timed on
+    hardware; see the module docstring)."""
+    cases = {
+        (4096, 4096, 40): 512,   # SD level-0 self-attn
+        (4096, 77, 40): 512,     # SD level-0 cross-attn
+        (1024, 1024, 80): 512,   # SD level-1 self-attn
+        (256, 256, 160): 256,    # SD mid-block
+        (4352, 4352, 128): 256,  # FLUX 1024px joint attn (4352 % 512 != 0)
+        (1280, 1280, 128): 256,  # FLUX 512px joint attn
+    }
+    for (sq, skv, d), want in cases.items():
+        assert sdk._pick_block_q(sq, skv, d) == want, (sq, skv, d)

@@ -34,10 +34,15 @@ from jax.experimental import pallas as pl
 
 # Logits scratch [block_q, S_kv] fp32 is the VMEM driver (Mosaic reuses
 # it for the exp/normalize passes), plus lane-padded K/V residency and
-# the q/o I/O blocks.  Measured at s=4096 d=40: bq=512 9.60 ms, 256
-# 10.46, 128 12.01; 1024 exceeds the 16 MB scoped-vmem limit (compiler
-# reported 20.84 M).  Blocks are picked per shape: the largest of
-# (512, 256, 128, sq) that divides sq and fits the budget.
+# the q/o I/O blocks.  Pallas double-buffers every in/out block across
+# grid steps, so K/V and q/o count twice — ignoring that undercounted
+# the VAE mid-block shape (s=4096, d=512) by ~4.4 MB and let it through
+# to a compile-time scoped-vmem OOM ("exceeded the vmem limit by 1.00M"
+# on bf16[12,1,4096,512]).  Anchors at s=4096 d=40: bq=512 9.60 ms, 256
+# 10.46, 128 12.01; bq=1024 exceeds the 16 MB scoped-vmem limit
+# (compiler reported 20.84 M; this model says 22 M).  Blocks are picked
+# per shape: the largest of (512, 256, 128, sq) that divides sq and
+# fits the budget.
 _BLOCK_CANDIDATES = (512, 256, 128)
 _VMEM_BUDGET = 14 * 1024 * 1024  # 16 MB scoped limit minus slack
 
@@ -52,7 +57,9 @@ def _pick_block_q(sq: int, skv: int, d: int) -> int | None:
     for bq in cands:
         if bq > sq or sq % bq:
             continue
-        vmem = bq * skv * 4 + 2 * skv * dp * 2 + 2 * bq * dp * 2
+        # logits scratch (single) + double-buffered K/V residency +
+        # double-buffered q/o I/O blocks
+        vmem = bq * skv * 4 + 2 * (2 * skv * dp * 2) + 2 * (2 * bq * dp * 2)
         if vmem <= _VMEM_BUDGET:
             return bq
     return None
