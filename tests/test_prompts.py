@@ -15,6 +15,28 @@ def test_parse_strips():
     assert parse_concepts(" Van Gogh ; Picasso") == ["Van Gogh", "Picasso"]
 
 
+def test_parse_at_file_json(tmp_path):
+    # data/info format: a JSON array of concept names
+    p = tmp_path / "concepts.txt"
+    p.write_text('["Van Gogh", " Picasso ", ""]', encoding="utf-8")
+    assert parse_concepts(f"@{p}") == ["Van Gogh", "Picasso"]
+
+
+def test_parse_at_file_lines(tmp_path):
+    p = tmp_path / "concepts.txt"
+    p.write_text("Van Gogh\n Picasso \n\n", encoding="utf-8")
+    assert parse_concepts(f"@{p}") == ["Van Gogh", "Picasso"]
+
+
+def test_parse_at_vendored_info_list():
+    # the exact concept set of the paper's 100-artist scaling experiment
+    concepts = parse_concepts(
+        "@data/info/erased-100artists-towards_art-preserve_true-sd_1_4"
+        "-method_replace.txt")
+    assert len(concepts) == 100
+    assert "Gustave Courbet" in concepts
+
+
 def test_guide_defaults():
     assert default_guide_concepts(None, "art") == "art"
     assert default_guide_concepts(None, "object") == ""

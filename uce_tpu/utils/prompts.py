@@ -26,9 +26,27 @@ OBJECT_TEMPLATES = (
 
 
 def parse_concepts(text: str | None) -> list[str]:
-    """Split a ``;``-separated concept string, stripping whitespace."""
+    """Split a ``;``-separated concept string, stripping whitespace.
+
+    ``@path`` loads the concept list from a file instead: either a JSON
+    array (the format of the vendored ``data/info/erased-*.txt`` lists,
+    which are the exact concept sets behind the paper's erasure-scale
+    experiments) or newline-separated text. This wires the corpus into
+    the edit CLIs — e.g. ``--edit_concepts
+    "@data/info/erased-100artists-towards_art-preserve_true-sd_1_4-method_replace.txt"``.
+    """
     if text is None:
         return []
+    if text.startswith("@"):
+        import json
+
+        with open(text[1:], "r", encoding="utf-8") as f:
+            raw = f.read().strip()
+        if raw.startswith("["):
+            items = json.loads(raw)
+        else:
+            items = raw.splitlines()
+        return [str(c).strip() for c in items if str(c).strip()]
     return [c.strip() for c in text.split(";")]
 
 
