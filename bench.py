@@ -191,11 +191,16 @@ def bench_flux(batch: int = 4) -> float:
     def _respec(tree, depth):
         # block params are scan-stacked with a leading layer axis —
         # widen it from the 1-layer proto to the benched depth
-        # fill: 1.0 for 1-D leaves (norm scales), 0.0 elsewhere — the
-        # values only need to keep the arithmetic finite, not realistic
-        return jax.tree.map(
-            lambda l: _Spec((depth,) + l.shape[1:] if depth else l.shape,
-                            1.0 if l.ndim == 1 else 0.0), tree)
+        # fill: 1.0 for norm scales (1-D leaves, or [1, d] once the layer
+        # axis is counted out on stacked block leaves), 0.0 elsewhere —
+        # the values only need to keep the arithmetic finite, not
+        # realistic
+        def spec(l):
+            eff_ndim = l.ndim - (1 if depth else 0)
+            return _Spec((depth,) + l.shape[1:] if depth else l.shape,
+                         1.0 if eff_ndim == 1 else 0.0)
+
+        return jax.tree.map(spec, tree)
 
     spec_tree = {
         k: _respec(v, {"transformer_blocks": config.num_layers,
@@ -297,11 +302,17 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable, __file__, "--skip_edit",
                  "--batch", str(args.batch), "--steps", str(steps)]
-                + (["--tiny"] if args.tiny else []),
+                + (["--tiny"] if args.tiny else [])
+                + (["--quantize"] if args.quantize else []),
                 env=env, capture_output=True, text=True, timeout=1800)
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            img_s = json_mod.loads(line)["value"]
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                sys.stderr.write(proc.stderr)
+                print(f"ablation subprocess [{abl or 'none'}] failed "
+                      f"(rc={proc.returncode})", file=sys.stderr)
+                return 1
+            img_s = json_mod.loads(lines[-1])["value"]
             results[abl or "full"] = args.batch / img_s  # sec per run
             print(f"ablate[{abl or 'none'}]: {img_s:.4f} img/s",
                   file=sys.stderr)

@@ -58,6 +58,30 @@ def test_flash_fallback_logs_once(rng, monkeypatch, caplog):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
 
 
+def test_flash_blocks_derive_from_each_length():
+    """block_q must follow Sq and block_k must follow Skv: deriving both
+    from Skv broke every mixed-length flash shape (cross-attention kv=77
+    gave bq=77, which does not divide Sq)."""
+    blocks = attn._flash_block_sizes(4096, 77)
+    assert blocks.block_q == 512 and blocks.block_k == 77
+    blocks = attn._flash_block_sizes(256, 4096)
+    assert blocks.block_q == 256 and blocks.block_k == 1024
+
+
+def test_sdk_fallback_does_not_consume_flash_warning(monkeypatch, caplog):
+    """An sdk-kernel failure must log its own once-per-process warning and
+    leave the flash kernel's warning intact for a later flash regression."""
+    monkeypatch.setattr(attn, "_fallback_warned", False)
+    monkeypatch.setattr(attn, "_sdk_fallback_warned", False)
+    with caplog.at_level(logging.WARNING, logger=attn.logger.name):
+        attn._warn_flash_fallback(ValueError("sdk boom"), kernel="sdk")
+        attn._warn_flash_fallback(ValueError("sdk boom"), kernel="sdk")
+        attn._warn_flash_fallback(ValueError("flash boom"))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert sum("sd attention kernel failed" in m for m in msgs) == 1
+    assert sum("flash attention failed" in m for m in msgs) == 1
+
+
 def test_flash_fallback_does_not_catch_unrelated(rng, monkeypatch):
     """TypeError (a programming bug) must propagate, not be swallowed."""
     q, k, v = _qkv(rng)

@@ -14,16 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uce_tpu.ops import quant
-
-
-def ablated(name: str) -> bool:
-    """True when UCE_ABLATE (comma list: gn, ln, attn) disables this op.
-
-    Read at trace time only — zero runtime cost. Used by ``bench.py
-    --breakdown`` to attribute per-step cost to op families by measured
-    ablation deltas (XLA fusion effects included), never in production.
-    """
-    return name in os.environ.get("UCE_ABLATE", "").split(",")
+from uce_tpu.utils.ablate import ablated  # noqa: F401  (re-export)
 
 
 def conv2d(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None,
@@ -150,6 +141,8 @@ def group_norm_act_split(xs, scale, bias, num_groups: int = 32,
     UNet up-block skip path (UCE_SPLIT_SKIP) to avoid the concat copy.
     Returns one normalized tensor per input part.
     """
+    if ablated("gn"):  # keep parity with group_norm_act under UCE_ABLATE
+        return [silu(x) if act == "silu" else x for x in xs]
     g = num_groups
     widths = [x.shape[-1] for x in xs]
     c_total = sum(widths)

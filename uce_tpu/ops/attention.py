@@ -18,14 +18,25 @@ import jax
 import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
-_fallback_warned = False
+_fallback_warned = False          # flash kernel (kept name: tests patch it)
+_sdk_fallback_warned = False      # sd kernel has its own once-flag
 
 
-def _warn_flash_fallback(exc: Exception) -> None:
-    """Log the flash->XLA fallback once per process so a tuned-kernel
-    regression (e.g. after a toolchain bump) is visible in stderr instead
-    of silently halving throughput."""
-    global _fallback_warned
+def _warn_flash_fallback(exc: Exception, kernel: str = "flash") -> None:
+    """Log a kernel->fallback degradation once per process PER KERNEL so a
+    tuned-kernel regression (e.g. after a toolchain bump) is visible in
+    stderr instead of silently halving throughput.  Separate flags: an sdk
+    failure must not consume the flash kernel's only warning."""
+    global _fallback_warned, _sdk_fallback_warned
+    if kernel == "sdk":
+        if _sdk_fallback_warned:
+            return
+        _sdk_fallback_warned = True
+        logger.warning(
+            "Pallas sd attention kernel failed (%s: %s); falling back to "
+            "the flash/XLA path for the rest of this process.",
+            type(exc).__name__, exc)
+        return
     if not _fallback_warned:
         _fallback_warned = True
         logger.warning(
@@ -62,14 +73,17 @@ def _xla_attention(
     return out.astype(q.dtype)
 
 
-def _flash_block_sizes(seq: int):
+def _flash_block_sizes(sq: int, skv: int):
     """Measured-optimal blocks on the target chip: bq=512/bk=1024 runs the
     s=4096, d=40->128 self-attention in 3.4 ms vs 10.3 ms for XLA and
-    34 ms for the kernel's default blocks."""
+    34 ms for the kernel's default blocks.  q blocks derive from the QUERY
+    length and k blocks from the KV length — deriving both from Skv broke
+    every mixed-length shape (e.g. cross-attention kv=77: bq=77 does not
+    divide Sq)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    bq = min(512, seq)
-    bk = min(1024, seq)
+    bq = min(512, sq)
+    bk = min(1024, skv)
     return BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk,
@@ -86,7 +100,7 @@ def _flash_attention(q, k, v, scale: float) -> jnp.ndarray:
 
     d = q.shape[-1]
     target = ((d + 127) // 128) * 128
-    blocks = _flash_block_sizes(k.shape[-2])
+    blocks = _flash_block_sizes(q.shape[-2], k.shape[-2])
     if target != d:
         pad = [(0, 0)] * 3 + [(0, target - d)]
         q = jnp.pad(q * jnp.asarray(scale, q.dtype), pad)
@@ -122,7 +136,7 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     import os
 
-    from uce_tpu.models.layers import ablated
+    from uce_tpu.utils.ablate import ablated
 
     if ablated("attn"):  # bench.py --breakdown cost attribution only
         # cheap stand-in that keeps q/k/v projections alive (no DCE) and
@@ -147,7 +161,7 @@ def dot_product_attention(
             try:
                 return sdk.sd_attention(q, k, v, scale, qk_int8=qk_int8)
             except (ValueError, NotImplementedError, RuntimeError) as exc:
-                _warn_flash_fallback(exc)
+                _warn_flash_fallback(exc, kernel="sdk")
     # flash: padded d->128 Pallas flash kernel — kept for shapes the sdk
     # kernel's VMEM gate rejects (very long sequences) and as impl='flash'.
     use_flash = impl == "flash" or (

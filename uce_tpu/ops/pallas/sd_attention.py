@@ -52,7 +52,16 @@ def _pick_block_q(sq: int, skv: int, d: int) -> int | None:
 
     dp = ((d + 127) // 128) * 128
     override = os.environ.get("UCE_SDK_BLOCK_Q")
-    cands = ((int(override),) if override
+    if override is not None:
+        try:
+            override = int(override)
+        except ValueError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ignoring malformed UCE_SDK_BLOCK_Q=%r", override)
+            override = None
+    cands = ((override,) if override
              else _BLOCK_CANDIDATES + ((sq,) if sq < 128 else ()))
     for bq in cands:
         if bq > sq or sq % bq:
@@ -117,43 +126,65 @@ def sd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bq = _pick_block_q(sq, skv, d)
     assert bq is not None, (sq, skv, d)
 
+    grid = (b, h, sq // bq)
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda i, j, r: (i, j, r, 0))
+    kv_spec = pl.BlockSpec((1, 1, skv, d), lambda i, j, r: (i, j, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, bq, d), lambda i, j, r: (i, j, r, 0))
+    out_shape = jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)
+
+    if qk_int8:
+        # K quantization is q-block-invariant, so it runs ONCE here in XLA
+        # (one pass over K) instead of once per q-block inside the kernel.
+        kf = k.astype(jnp.float32)
+        kc = kf - jnp.mean(kf, axis=2, keepdims=True)  # center per channel
+        ks = jnp.maximum(jnp.max(jnp.abs(kc), axis=3), 1e-6) / 127.0
+        ki = jnp.round(kc / ks[..., None]).astype(jnp.int8)
+        return pl.pallas_call(
+            functools.partial(_kernel_qk8, scale=scale),
+            grid=grid,
+            in_specs=[
+                q_spec,
+                kv_spec,
+                pl.BlockSpec((1, 1, 1, skv), lambda i, j, r: (i, j, 0, 0)),
+                kv_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q, ki, ks[:, :, None, :], v)
+
     return pl.pallas_call(
-        functools.partial(_kernel_qk8 if qk_int8 else _kernel, scale=scale),
-        grid=(b, h, sq // bq),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda i, j, r: (i, j, r, 0)),
-            pl.BlockSpec((1, 1, skv, d), lambda i, j, r: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, skv, d), lambda i, j, r: (i, j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda i, j, r: (i, j, r, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        functools.partial(_kernel, scale=scale),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v)
 
 
-def _kernel_qk8(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _kernel_qk8(q_ref, ki_ref, ks_ref, v_ref, o_ref, *, scale: float):
     """Int8 QK^T variant: the MXU runs int8 at 2x the bf16 rate and the
     QK^T contraction (K=d=40/80) is the padded, MXU-bound half of SD
-    attention.  Per-token symmetric int8 quantization of q and k, with k
-    mean-centered per channel first — the centering adds a per-row
+    attention.  Per-token symmetric int8 quantization of q (here) and k
+    (hoisted to XLA in ``sd_attention`` — it is q-block-invariant), with
+    k mean-centered per channel first — the centering adds a per-row
     constant to the logits, which softmax cancels exactly, and it
     removes the channel-mean outlier mass that would otherwise eat the
     8-bit range (SageAttention-style).  PV stays bf16: its contraction
     (K=s_kv) already fills the lanes, so int8 would buy little and cost
     accuracy on the probability side."""
     q = q_ref[0, 0].astype(jnp.float32)     # [bq, D]
-    k = k_ref[0, 0].astype(jnp.float32)     # [S_kv, D]
+    ki = ki_ref[0, 0]                        # [S_kv, D] int8
+    ks = ks_ref[0, 0]                        # [1, S_kv] f32 per-token scale
     v = v_ref[0, 0]                          # [S_kv, D] bf16
-    k = k - jnp.mean(k, axis=0, keepdims=True)
     qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-6) / 127.0
-    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=1, keepdims=True), 1e-6) / 127.0
     qi = jnp.round(q / qs).astype(jnp.int8)
-    ki = jnp.round(k / ks).astype(jnp.int8)
     logits_i = jax.lax.dot_general(
         qi, ki, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                        # [bq, S_kv]
-    logits = logits_i.astype(jnp.float32) * (qs * ks[:, 0][None, :]) * scale
+    logits = logits_i.astype(jnp.float32) * (qs * ks) * scale
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
     p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
