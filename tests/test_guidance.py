@@ -121,3 +121,14 @@ def test_pipeline_debias_vl_mode(tmp_path):
     base = pipe("a doctor", num_inference_steps=2, seed=1, height=32,
                 width=32)
     assert (imgs != base).any()
+
+
+def test_generate_debias_vl_rejects_sdxl():
+    from uce_tpu.eval import baselines
+
+    class FakeSDXL:
+        is_sdxl = True
+
+    with pytest.raises(ValueError, match="SD 1.x/2.x"):
+        baselines.generate_debias_vl(
+            FakeSDXL(), "unused.csv", ["doctor"], "/tmp/unused")

@@ -122,3 +122,25 @@ def test_plan_from_hf_dispatch():
                       ("EulerDiscreteScheduler", "euler")]:
         plan = schedulers.plan_from_hf({"_class_name": cls}, 5)
         assert plan.kind == kind
+
+
+def test_plan_from_hf_as_inherits_model_hyperparameters():
+    # per-call scheduler override changes the TYPE only: a v-prediction
+    # model (SD 2.x-768) stepped as epsilon would produce pure noise
+    cfg = {"_class_name": "DDIMScheduler",
+           "prediction_type": "v_prediction",
+           "beta_start": 0.0009, "beta_end": 0.011,
+           "beta_schedule": "scaled_linear",
+           "num_train_timesteps": 1000, "steps_offset": 1}
+    plan = schedulers.plan_from_hf_as("lms", cfg, 5)
+    assert plan.kind == "lms"
+    ref = schedulers.plan_from_hf(dict(cfg, _class_name="LMSDiscreteScheduler"), 5)
+    for k in plan.tables:
+        np.testing.assert_array_equal(np.asarray(plan.tables[k]),
+                                      np.asarray(ref.tables[k]))
+    assert plan.prediction_type == ref.prediction_type == "v_prediction"
+
+
+def test_plan_from_hf_as_accepts_class_names_too():
+    plan = schedulers.plan_from_hf_as("DDIMScheduler", {}, 4)
+    assert plan.kind == "ddim"

@@ -68,7 +68,10 @@ class SDPipeline:
         scfg = load_json(sched_path) if os.path.exists(sched_path) else {
             "_class_name": "PNDMScheduler"}
         if scheduler is not None:
-            scfg = dict(scfg, _class_name=scheduler)
+            # accept both short keys ('ddim', the CLI vocabulary) and
+            # diffusers class names ('DDIMScheduler')
+            scfg = dict(scfg, _class_name=schedulers.SCHEDULER_CLASS_FOR_NAME
+                        .get(scheduler, scheduler))
         pipe = cls(
             unet_params=unet_mod.cast_params(uparams, dtype),
             unet_config=ucfg,
@@ -120,15 +123,13 @@ class SDPipeline:
         context = jnp.concatenate(parts, axis=-1).astype(self.dtype)
         return context, pooled.astype(self.dtype)
 
-    def _sdxl_added_cond(self, prompts, negatives, bsz, height, width,
-                         n_branches):
+    def _sdxl_added_cond(self, pooled_cond, pooled_uncond, bsz, height,
+                         width, n_branches):
         """text_embeds (pooled, uncond first) + time_ids [h,w,0,0,h,w].
 
-        diffusers SDXL pools the *negative* prompt for the uncond branch, so
-        the negatives are threaded through rather than hard-coded ''.
+        diffusers SDXL pools the *negative* prompt for the uncond branch;
+        both pooled vectors come from the caller's single encode pass.
         """
-        _, pooled_cond = self.encode_prompts_sdxl(prompts)
-        _, pooled_uncond = self.encode_prompts_sdxl(negatives)
         text_embeds = jnp.concatenate([pooled_uncond, pooled_cond], axis=0)
         if n_branches > 2:  # extra guidance branches reuse the cond pooled
             extra = jnp.concatenate(
@@ -170,7 +171,7 @@ class SDPipeline:
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
         if not isinstance(seed, (int, np.integer)) and len(seed) != n_prompts:
-            raise ValueError("len(seed) must match len(prompt)")
+            raise ValueError("len(seed) must match len(prompt)")  # fail fast
 
         if negative_prompt is None:
             negatives = [""] * bsz
@@ -182,8 +183,15 @@ class SDPipeline:
             if len(negatives) != bsz:
                 raise ValueError("len(negative_prompt) must match len(prompt)")
 
-        cond = self.encode_prompts(prompts)
-        uncond = self.encode_prompts(negatives)
+        if self.is_sdxl:
+            # encode once: the pooled outputs feed _sdxl_added_cond below
+            # (re-encoding there would double the text-encoder work)
+            cond, pooled_cond = self.encode_prompts_sdxl(prompts)
+            uncond, pooled_uncond = self.encode_prompts_sdxl(negatives)
+        else:
+            cond = self.encode_prompts(prompts)
+            uncond = self.encode_prompts(negatives)
+            pooled_cond = pooled_uncond = None
 
         if mode == "cfg":
             context = jnp.concatenate([uncond, cond], axis=0)
@@ -210,22 +218,16 @@ class SDPipeline:
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.unet_config.in_channels
-        if isinstance(seed, (int, np.integer)):
-            # reference batch semantics: one generator for the whole batch
-            lat_np = torch_rng.randn((bsz, lh, lw, lc), int(seed))
-        else:
-            # one torch.Generator per prompt (reference
-            # evalscripts/generate-images-sd.py:37-42): the generator
-            # advances across that prompt's num_images_per_prompt samples,
-            # so samples within a prompt are distinct.
-            lat_np = np.concatenate([
-                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
-                for s in seed])
-        latents = jnp.asarray(lat_np, self.dtype)
+        latents = jnp.asarray(
+            torch_rng.draw_prompt_latents(
+                (lh, lw, lc), seed, n_prompts, num_images_per_prompt),
+            self.dtype)
 
-        sched_name = scheduler
-        plan = (schedulers.make_plan(sched_name, num_inference_steps)
-                if sched_name else
+        # a per-call scheduler override changes the TYPE only; the model's
+        # scheduler hyperparameters (prediction_type, betas, ...) carry over
+        plan = (schedulers.plan_from_hf_as(scheduler, self.scheduler_config,
+                                           num_inference_steps)
+                if scheduler else
                 schedulers.plan_from_hf(self.scheduler_config,
                                         num_inference_steps))
         sld_cfg = None
@@ -236,7 +238,7 @@ class SDPipeline:
         if self.is_sdxl:
             n_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[eff_mode]
             added_cond = self._sdxl_added_cond(
-                prompts, negatives, bsz, height, width, n_branches)
+                pooled_cond, pooled_uncond, bsz, height, width, n_branches)
         images = _generate_jit(
             self, plan, latents, context, float(guidance_scale),
             eff_mode, sld_cfg, added_cond)

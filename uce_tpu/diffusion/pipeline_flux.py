@@ -173,6 +173,7 @@ class FluxPipeline:
         width: int = 1024,
     ) -> np.ndarray:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        n_prompts = len(prompts)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
         t5_embeds, pooled = self.encode_prompts(prompts)
@@ -180,18 +181,10 @@ class FluxPipeline:
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.vae_config.latent_channels
-        if isinstance(seed, (int, np.integer)):
-            lat_np = torch_rng.randn((bsz, lh, lw, lc), seed)
-        else:
-            # one torch.Generator per prompt: it advances across the
-            # prompt's num_images_per_prompt samples, so samples within a
-            # prompt are distinct (generator-list parity).
-            if len(seed) * num_images_per_prompt != bsz:
-                raise ValueError("len(seed) must match len(prompt)")
-            lat_np = np.concatenate([
-                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
-                for s in seed])
-        latents = jnp.asarray(lat_np, self.dtype)
+        latents = jnp.asarray(
+            torch_rng.draw_prompt_latents(
+                (lh, lw, lc), seed, n_prompts, num_images_per_prompt),
+            self.dtype)
         packed = pack_latents(latents)
 
         seq_len = packed.shape[1]
@@ -208,24 +201,21 @@ class FluxPipeline:
                 self.scheduler_config.get("max_shift", 1.15),
             ) if use_dyn else None,
         )
-        img_ids = make_img_ids(lh, lw)
-        txt_ids = np.zeros((t5_embeds.shape[1], 3))
-
         images = _flux_generate_jit(
             self, plan, packed, t5_embeds, pooled,
-            jnp.float32(guidance_scale), img_ids.tobytes(),
-            txt_ids.shape[0], (lh, lw))
+            jnp.float32(guidance_scale), (lh, lw))
         return np.asarray(images)
 
 
 @functools.lru_cache(maxsize=8)
 def _compiled_flux_generate(config, vae_config, plan_key, shape_key,
-                            ids_bytes, s_txt, latent_hw):
+                            latent_hw):
     lh, lw = latent_hw
-    img_ids = np.frombuffer(ids_bytes, np.float64).reshape(-1, 3)
-    txt_ids = np.zeros((s_txt, 3))
+    img_ids = make_img_ids(lh, lw)
 
     def fn(params, vae_params, plan, packed, t5_embeds, pooled, guidance):
+        # txt_ids depend only on the (static) T5 sequence length
+        txt_ids = np.zeros((t5_embeds.shape[1], 3))
         sigmas = plan.tables["sigmas"]
 
         def body(carry, i):
@@ -254,11 +244,11 @@ def _compiled_flux_generate(config, vae_config, plan_key, shape_key,
 
 
 def _flux_generate_jit(pipe, plan, packed, t5_embeds, pooled, guidance,
-                       ids_bytes, s_txt, latent_hw):
+                       latent_hw):
     fn = _compiled_flux_generate(
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (packed.shape, str(packed.dtype)),
-        ids_bytes, s_txt, latent_hw)
+        latent_hw)
     return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
               t5_embeds, pooled, guidance)

@@ -147,7 +147,21 @@ class HiDreamPipeline:
                 print(f"load_uce_edits: skipped unknown key {key}")
                 continue
             i = int(m.group(1))
+            if i > n_llama:
+                # only index n_llama is the T5 projection; anything beyond
+                # means the artifact came from a different model config —
+                # llama and t5 weights share a shape, so routing it to t5
+                # would silently corrupt the model
+                raise ValueError(
+                    f"{key}: index {i} exceeds this model's "
+                    f"{n_llama} llama + 1 t5 caption projections")
             w = np.swapaxes(np.asarray(v, np.float32), -1, -2)
+            expected = (llama_w.shape[1:] if i < n_llama
+                        else cp["t5"]["weight"].shape)
+            if w.shape != tuple(expected):
+                raise ValueError(
+                    f"{key}: shape {v.shape} does not match the model's "
+                    f"caption projection {tuple(expected)[::-1]}")
             if i < n_llama:
                 llama_w[i] = w
             else:
@@ -200,6 +214,7 @@ class HiDreamPipeline:
         negative_prompt: str | Sequence[str] | None = None,
     ) -> np.ndarray:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        n_prompts = len(prompts)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
         bsz = len(prompts)
         do_cfg = guidance_scale > 1.0
@@ -212,6 +227,9 @@ class HiDreamPipeline:
             else:
                 negatives = [n for n in negative_prompt
                              for _ in range(num_images_per_prompt)]
+                if len(negatives) != bsz:
+                    raise ValueError(
+                        "len(negative_prompt) must match len(prompt)")
             t5_u, llama_u, pooled_u = self.encode_prompts(negatives)
             t5_e = jnp.concatenate([t5_u, t5_c], axis=0)
             llama_e = jnp.concatenate([llama_u, llama_c], axis=1)
@@ -222,15 +240,10 @@ class HiDreamPipeline:
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.vae_config.latent_channels
-        if isinstance(seed, (int, np.integer)):
-            lat_np = torch_rng.randn((bsz, lh, lw, lc), seed)
-        else:
-            if len(seed) * num_images_per_prompt != bsz:
-                raise ValueError("len(seed) must match len(prompt)")
-            lat_np = np.concatenate([
-                torch_rng.randn((num_images_per_prompt, lh, lw, lc), int(s))
-                for s in seed])
-        packed = pack_latents(jnp.asarray(lat_np, self.dtype))
+        packed = pack_latents(jnp.asarray(
+            torch_rng.draw_prompt_latents(
+                (lh, lw, lc), seed, n_prompts, num_images_per_prompt),
+            self.dtype))
 
         use_dyn = self.scheduler_config.get("use_dynamic_shifting", False)
         plan = schedulers.flow_match_euler_plan(
@@ -245,20 +258,22 @@ class HiDreamPipeline:
                 self.scheduler_config.get("max_shift", 1.15),
             ) if use_dyn else None,
         )
-        img_ids = make_img_ids(lh, lw)
         images = _hidream_generate_jit(
             self, plan, packed, t5_e, llama_e, pooled_e,
-            float(guidance_scale), do_cfg, img_ids.tobytes(), (lh, lw))
+            float(guidance_scale), do_cfg, (lh, lw))
         return np.asarray(images)
 
 
 @functools.lru_cache(maxsize=8)
 def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
-                               guidance_scale, do_cfg, ids_bytes, latent_hw):
+                               do_cfg, latent_hw):
     lh, lw = latent_hw
-    img_ids = np.frombuffer(ids_bytes, np.float64).reshape(-1, 3)
+    img_ids = make_img_ids(lh, lw)
 
-    def fn(params, vae_params, plan, packed, t5_e, llama_e, pooled_e):
+    # guidance_scale rides as a TRACED argument (like the SD and FLUX
+    # pipelines): a guidance sweep must not recompile the transformer.
+    def fn(params, vae_params, plan, packed, t5_e, llama_e, pooled_e,
+           guidance_scale):
         sigmas = plan.tables["sigmas"]
 
         def body(carry, i):
@@ -289,11 +304,11 @@ def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
 
 
 def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
-                          guidance, do_cfg, ids_bytes, latent_hw):
+                          guidance, do_cfg, latent_hw):
     fn = _compiled_hidream_generate(
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (packed.shape, str(packed.dtype)),
-        guidance, do_cfg, ids_bytes, latent_hw)
+        do_cfg, latent_hw)
     return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
-              t5_e, llama_e, pooled_e)
+              t5_e, llama_e, pooled_e, jnp.float32(guidance))

@@ -394,6 +394,27 @@ def make_plan(name: str, num_steps: int, **kwargs) -> Plan:
     return _PLANNERS[name](num_steps, **kwargs)
 
 
+SCHEDULER_CLASS_FOR_NAME = {
+    "ddim": "DDIMScheduler",
+    "pndm": "PNDMScheduler",
+    "plms": "PNDMScheduler",
+    "lms": "LMSDiscreteScheduler",
+    "euler": "EulerDiscreteScheduler",
+    "flow_euler": "FlowMatchEulerDiscreteScheduler",
+}
+
+
+def plan_from_hf_as(name: str, cfg: Mapping, num_steps: int) -> Plan:
+    """Build a plan of the requested scheduler TYPE (short key, e.g.
+    'lms') while inheriting the model's scheduler hyperparameters from its
+    diffusers config (prediction_type, beta schedule, num_train_timesteps,
+    steps_offset).  A bare ``make_plan(name, n)`` would silently reset
+    those to the SD v1 defaults — stepping a v-prediction model (SD 2.x
+    768) as epsilon produces pure noise."""
+    cls = SCHEDULER_CLASS_FOR_NAME.get(name, name)
+    return plan_from_hf(dict(cfg, _class_name=cls), num_steps)
+
+
 def plan_from_hf(cfg: Mapping, num_steps: int) -> Plan:
     """Build a plan from a diffusers scheduler_config.json dict."""
     cls = cfg.get("_class_name", "PNDMScheduler")

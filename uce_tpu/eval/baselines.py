@@ -70,6 +70,14 @@ def generate_debias_vl(
     from uce_tpu.edit.embeddings import tokenize_batch
     from uce_tpu.models import clip_text
 
+    if getattr(pipe, "is_sdxl", False):
+        # the calibration projection is built from encoder-1 (768-dim);
+        # applying it to the 2048-dim dual-encoder context would fail with
+        # an obscure shape error deep in the denoise loop
+        raise ValueError(
+            "debias-vl supports SD 1.x/2.x pipelines only (the reference "
+            "implementation is single-encoder, debiasing_vl.py:69-79); "
+            "got an SDXL pipeline")
     prompts, pairs = build_gender_pairs(debias_concepts)
     ids, _ = tokenize_batch(pipe.tokenizer, prompts,
                             pipe.text_config.max_position_embeddings)

@@ -44,6 +44,9 @@ def generate_images(
     """
     import jax.numpy as jnp
 
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(device)  # must run before any backend init below
     jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(dtype)]
     pipe = SDPipeline.from_pretrained(model_name, dtype=jdtype)
     if uce_model_path:

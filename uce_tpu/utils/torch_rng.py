@@ -58,3 +58,25 @@ def randn_per_image(batch: int, shape_hw_c, seed: int, dtype=np.float32):
     draw over the full [B, C, H, W] tensor."""
     h, w, c = shape_hw_c
     return randn((batch, h, w, c), seed, dtype)
+
+
+def draw_prompt_latents(shape_hw_c, seed, n_prompts: int,
+                        num_images_per_prompt: int,
+                        dtype=np.float32) -> np.ndarray:
+    """Initial latents with reference generator semantics, shared by every
+    pipeline (SD/SDXL, FLUX, HiDream).
+
+    int seed: ONE generator draws the whole batch sequentially (diffusers
+    single-generator batching).  list seed: one generator per prompt
+    (``evalscripts/generate-images-sd.py:37-42``), each advancing across
+    that prompt's ``num_images_per_prompt`` samples — so samples within a
+    prompt are distinct (generator-list parity)."""
+    h, w, c = shape_hw_c
+    total = n_prompts * num_images_per_prompt
+    if isinstance(seed, (int, np.integer)):
+        return randn((total, h, w, c), int(seed), dtype)
+    if len(seed) != n_prompts:
+        raise ValueError("len(seed) must match len(prompt)")
+    return np.concatenate([
+        randn((num_images_per_prompt, h, w, c), int(s), dtype)
+        for s in seed])
