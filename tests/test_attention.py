@@ -82,6 +82,25 @@ def test_sdk_fallback_does_not_consume_flash_warning(monkeypatch, caplog):
     assert sum("flash attention failed" in m for m in msgs) == 1
 
 
+def test_explicit_impl_degrade_warns(rng, monkeypatch, caplog):
+    """impl='flash'/'sdk' silently routed to XLA by dispatch constraints
+    (mask/causal/non-TPU backend) must log the fallback warning so a
+    benchmark doesn't measure XLA believing it measured the kernel."""
+    q, k, v = _qkv(rng)
+    monkeypatch.setattr(attn, "_fallback_warned", False)
+    monkeypatch.setattr(attn, "_sdk_fallback_warned", False)
+    with caplog.at_level(logging.WARNING, logger=attn.logger.name):
+        out = attn.dot_product_attention(q, k, v, impl="flash", causal=True)
+    assert out.shape == q.shape
+    assert any("not applicable" in r.getMessage() for r in caplog.records)
+    # force_xla is a deliberate router decision — no warning
+    caplog.clear()
+    monkeypatch.setattr(attn, "_fallback_warned", False)
+    with caplog.at_level(logging.WARNING, logger=attn.logger.name):
+        attn.dot_product_attention(q, k, v, impl="flash", force_xla=True)
+    assert not caplog.records
+
+
 def test_flash_fallback_does_not_catch_unrelated(rng, monkeypatch):
     """TypeError (a programming bug) must propagate, not be swallowed."""
     q, k, v = _qkv(rng)

@@ -40,6 +40,23 @@ def test_default_max_sequence_length():
     assert edit_flux.default_max_sequence_length("FLUX.1-dev") == 512
 
 
+def test_default_max_sequence_length_from_config(tmp_path):
+    """A local snapshot is classified by its transformer config
+    (guidance_embeds False = schnell), not by the directory name."""
+    import json
+    import os
+
+    for name, guidance, expect in [
+        ("flux-fast", False, 256),       # schnell snapshot, renamed dir
+        ("my-schnell-copy", True, 512),  # dev snapshot in a 'schnell' dir
+    ]:
+        d = tmp_path / name
+        os.makedirs(d / "transformer")
+        (d / "transformer" / "config.json").write_text(
+            json.dumps({"guidance_embeds": guidance}))
+        assert edit_flux.default_max_sequence_length(str(d)) == expect
+
+
 def test_encode_concepts_dual_stream():
     res = _resources()
     embeds = edit_flux.encode_concepts(res, ["van gogh", "art"])

@@ -146,3 +146,26 @@ def test_pallas_method_matches_collapsed():
                                     ["art"], ["nature"], method="pallas")
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_method_falls_back_past_max_dim(caplog):
+    """method='pallas' at SDXL's d=2048 (> MAX_PALLAS_DIM) must use the
+    XLA path with a warning, not crash the CLI."""
+    import logging
+
+    from tests.helpers import fake_unet_targets
+    from uce_tpu.edit.sd import erase_from_embeddings
+
+    d = 2048
+    rng = np.random.default_rng(0)
+    targets = fake_unet_targets(d=d)
+    embeds = {c: rng.standard_normal(d).astype(np.float32)
+              for c in ["van gogh", "art", "nature"]}
+    ref = erase_from_embeddings(targets, embeds, ["van gogh"], ["art"],
+                                ["nature"], method="collapsed")
+    with caplog.at_level(logging.WARNING, logger="uce_tpu.edit.sd"):
+        got = erase_from_embeddings(targets, embeds, ["van gogh"], ["art"],
+                                    ["nature"], method="pallas")
+    assert any("XLA path" in r.getMessage() for r in caplog.records)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5)

@@ -49,7 +49,7 @@ def test_qlinear_integer_path_exact(rng):
 
 
 @pytest.mark.parametrize("stride,padding,ksize", [
-    (1, 1, 3), (2, 1, 3), (1, 0, 1),
+    (1, 1, 3), (2, 1, 3), (1, 0, 1), (1, 1, 1), (2, 1, 1),
 ])
 def test_qconv2d_matches_float(rng, stride, padding, ksize):
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)

@@ -107,7 +107,9 @@ class FluxPipeline:
         scfg = (load_json(sp) if os.path.exists(sp)
                 else {"_class_name": "FlowMatchEulerDiscreteScheduler"})
         if max_sequence_length is None:
-            max_sequence_length = 256 if "schnell" in model_dir else 512
+            from uce_tpu.edit.flux import default_max_sequence_length
+
+            max_sequence_length = default_max_sequence_length(model_dir)
         return cls(
             transformer_params=tparams, transformer_config=tcfg,
             t5_params=t5params, t5_config=t5cfg,

@@ -77,11 +77,14 @@ def encode_concepts_sdxl(
     token taken per tokenizer_1's mask; embedding dim 768 + 1280 = 2048."""
     unique = list(dict.fromkeys(concepts))
     parts = []
+    mask_1 = None
     for params, config, tokenizer in (
         (params_1, config_1, tokenizer_1),
         (params_2, config_2, tokenizer_2),
     ):
         ids, mask = tokenize_batch(tokenizer, unique, config.max_position_embeddings)
+        if mask_1 is None:
+            mask_1 = mask  # last-token indexing uses tokenizer_1's mask
         _, _, hiddens = clip_text.encode_tokens(
             params, jnp.asarray(ids), config, output_hidden_states=True
         )
@@ -91,8 +94,7 @@ def encode_concepts_sdxl(
     if parts[0].shape[1] != parts[1].shape[1]:
         raise ValueError("SDXL encoders must share sequence length")
     joint = jnp.concatenate(parts, axis=-1)  # [B, T, 2048], on device
-    ids, mask = tokenize_batch(tokenizer_1, unique, config_1.max_position_embeddings)
-    embeds = gather_last_tokens(joint, last_token_indices(mask))
+    embeds = gather_last_tokens(joint, last_token_indices(mask_1))
     return dict(zip(unique, embeds))
 
 

@@ -43,7 +43,21 @@ class FluxEditResources:
 
 
 def default_max_sequence_length(model_id: str) -> int:
-    """Reference rule (uce_flux_edit.py:163-165): 256 for schnell, 512 else."""
+    """Reference rule (uce_flux_edit.py:163-165): 256 for schnell, 512 else.
+
+    When ``model_id`` is a local snapshot directory, schnell is detected
+    from the transformer config (``guidance_embeds`` is False for schnell,
+    True for dev) so a directory whose name lacks the 'schnell' substring
+    still gets the right truncation; the name rule is the fallback.
+    """
+    cfg_path = os.path.join(model_id, "transformer", "config.json")
+    if os.path.exists(cfg_path):
+        try:
+            guidance = load_json(cfg_path).get("guidance_embeds")
+        except (OSError, ValueError):
+            guidance = None
+        if guidance is not None:
+            return 256 if guidance is False else 512
     return 256 if "schnell" in model_id else 512
 
 

@@ -15,6 +15,7 @@ End-to-end flow:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import time
 from typing import Mapping, Sequence
@@ -29,6 +30,8 @@ from uce_tpu.ops.solver import (
     uce_edit_matrix,
     uce_solve_stacked,
 )
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -125,10 +128,40 @@ def erase_from_embeddings(
 
     if method in ("collapsed", "pallas"):
         if method == "pallas":
-            from uce_tpu.ops.pallas.uce_solve import uce_edit_matrix_pallas
+            from uce_tpu.ops.pallas.uce_solve import (
+                MAX_PALLAS_DIM, uce_edit_matrix_pallas)
 
-            e_mat = uce_edit_matrix_pallas(
-                c_edit, c_guide, c_pres, erase_scale, preserve_scale, lamb)
+            import jax
+
+            def _interpret_active() -> bool:
+                # force_tpu_interpret_mode (tests) makes the Mosaic kernel
+                # runnable off-TPU; detect it so the backend gate below
+                # doesn't defeat interpret-mode runs.
+                try:
+                    from jax._src.config import (
+                        pallas_tpu_interpret_mode_context_manager as cm)
+                    return cm.value is not None
+                except ImportError:  # private API moved — assume inactive
+                    return False
+
+            if c_edit.shape[1] > MAX_PALLAS_DIM or (
+                    jax.default_backend() != "tpu"
+                    and not _interpret_active()):
+                # The kernel's documented fallback (uce_solve.py docstring):
+                # SDXL's d=2048 exceeds the scoped-VMEM budget, and the
+                # Mosaic kernel only compiles for TPU — use the XLA
+                # Cholesky path instead of erroring out of the CLI.
+                logger.warning(
+                    "pallas edit kernel needs a TPU backend and d <= %d "
+                    "(got backend=%s, d=%d); using the XLA path",
+                    MAX_PALLAS_DIM, jax.default_backend(), c_edit.shape[1])
+                e_mat = uce_edit_matrix(
+                    c_edit, c_guide, c_pres, erase_scale, preserve_scale,
+                    lamb)
+            else:
+                e_mat = uce_edit_matrix_pallas(
+                    c_edit, c_guide, c_pres, erase_scale, preserve_scale,
+                    lamb)
         else:
             e_mat = uce_edit_matrix(
                 c_edit, c_guide, c_pres, erase_scale, preserve_scale, lamb

@@ -33,7 +33,6 @@ def classify_folder(
     from_case: int = 0,
     till_case: int = 1_000_000,
     batch_size: int = 32,
-    column_name: str = "gender",
 ) -> pd.DataFrame:
     from uce_tpu.utils.imaging import load_image
 
@@ -114,7 +113,6 @@ def _cmd(args) -> int:
     df = classify_folder(
         clip_model, args.image_folder, attributes,
         prompts_path=args.prompts_path, save_path=save_path,
-        from_case=args.from_case, till_case=args.till_case,
-        column_name=args.column_name)
+        from_case=args.from_case, till_case=args.till_case)
     print(f"wrote {save_path} ({len(df)} cases)")
     return 0

@@ -83,7 +83,6 @@ def eval_folders(
     edited_path: str,
     prompts_path: str | None = None,
     save_path: str | None = None,
-    num_samples: int = 10,
     image_size: int = 64,
     distance_fn=None,
     loss_column: str = "lpips_loss",

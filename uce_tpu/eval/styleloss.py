@@ -47,7 +47,10 @@ def style_content_loss(params: dict, image: jnp.ndarray,
     """Returns (style_loss, content_loss) per batch element."""
     taps_img = vgg19_features(params, image, num_convs=5)
     taps_style = vgg19_features(params, style_ref, num_convs=5)
-    taps_content = vgg19_features(params, content_ref, num_convs=5)
+    # The interference protocol passes the same original image as both
+    # references — reuse the taps instead of a third VGG-19 forward.
+    taps_content = (taps_style if content_ref is style_ref
+                    else vgg19_features(params, content_ref, num_convs=5))
 
     style = 0.0
     for i in STYLE_LAYERS:

@@ -175,4 +175,17 @@ def dot_product_attention(
             # Pallas lowering errors (ValueError/NotImplementedError) and
             # Mosaic compile failures (XlaRuntimeError <: RuntimeError).
             _warn_flash_fallback(exc)
+    if impl in ("flash", "sdk") and not force_xla:
+        # The caller explicitly requested a Pallas kernel but the routing
+        # constraints (mask/causal semantics the kernels don't implement,
+        # or a non-TPU backend) force the XLA path — say so once so a
+        # benchmark or test doesn't measure XLA believing it measured the
+        # kernel.
+        _warn_flash_fallback(
+            RuntimeError(
+                f"impl={impl!r} requested but not applicable to this call "
+                f"(mask={mask is not None}, causal={causal}, "
+                f"backend={jax.default_backend()!r}, or unsupported shape); "
+                "using XLA"),
+            kernel=impl if impl == "sdk" else "flash")
     return _xla_attention(q, k, v, mask, causal, scale)

@@ -38,15 +38,22 @@ def _kernel(x_ref, w_ref, o_ref, *, h: int, w: int):
 
 
 def _pick_cout_tile(cin: int, cout: int, h: int, w: int,
-                    vmem_budget: int = 100 * 1024 * 1024) -> int:
-    """Largest cout tile whose weight+accumulator footprint fits VMEM."""
+                    vmem_budget: int = 14 * 1024 * 1024) -> int:
+    """Largest cout tile that fits the 16 MB scoped-VMEM limit.
+
+    Pallas double-buffers every in/out block across grid steps (docs/
+    PERF.md), so the x/weight/out blocks count TWICE; the fp32 accumulator
+    is kernel-local scratch and counts once. Budget leaves ~2 MB headroom
+    under the 16 MB Mosaic limit.
+    """
     for tc in (cout, 512, 384, 320, 256, 128):
         if tc > cout or cout % tc != 0:
             continue
         weights = 9 * cin * tc * 2
         acc = h * w * tc * 4
         xtile = (h + 2) * (w + 2) * cin * 2
-        if weights + acc + xtile + h * w * tc * 2 <= vmem_budget:
+        otile = h * w * tc * 2
+        if 2 * (weights + xtile + otile) + acc <= vmem_budget:
             return tc
     return min(cout, 128)
 

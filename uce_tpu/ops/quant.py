@@ -104,6 +104,11 @@ def qconv2d(x: jnp.ndarray, qk: dict, b: jnp.ndarray | None = None,
     bsz, h, w, _ = x.shape
 
     if (kh, kw) == (1, 1):
+        if padding:
+            # Match the float conv path's output shape for padded 1x1
+            # convs; zero pads are exact in the quantized domain (0 -> 0).
+            xq = jnp.pad(xq, ((0, 0), (padding, padding),
+                              (padding, padding), (0, 0)))
         y = jax.lax.dot_general(
             xq, k.reshape(cin, cout),
             dimension_numbers=(((3,), (0,)), ((), ())),
