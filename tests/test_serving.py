@@ -1,0 +1,132 @@
+"""Serving layer: dynamic batching into one compiled shape + socket API.
+
+The server must (a) never change the compiled signature (pad instead),
+(b) return each request its own image, (c) batch concurrent requests,
+(d) keep serving after a failed batch, and (e) round-trip the JSON
+socket protocol.
+"""
+
+import numpy as np
+import pytest
+
+from tests.snapshot import make_sd_snapshot
+from uce_tpu.diffusion.pipeline import SDPipeline
+from uce_tpu.serving.server import GenerationServer, ServerConfig
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    import jax.numpy as jnp
+
+    snap = make_sd_snapshot(tmp_path_factory.mktemp("snap"))
+    return SDPipeline.from_pretrained(snap, dtype=jnp.float32)
+
+
+CFG = dict(num_inference_steps=2, height=32, width=32)
+
+
+def test_serial_requests_and_padding(pipe):
+    with GenerationServer(pipe, ServerConfig(batch_size=3, max_wait_ms=1,
+                                             **CFG)) as srv:
+        img = srv.generate("a cat", seed=7)
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        # single request into a batch of 3 -> 2 padded slots
+        assert srv.stats.batches == 1
+        assert srv.stats.padded_slots == 2
+        assert srv.stats.occupancy == pytest.approx(1 / 3)
+
+
+def test_results_match_direct_pipeline_call(pipe):
+    """Padding must not change a request's image: server output equals a
+    direct pipeline call at the same (prompt, seed) signature."""
+    direct = pipe(["a cat", "", ""], seed=[7, 0, 0],
+                  num_images_per_prompt=1, guidance_scale=7.5, **CFG)[0]
+    with GenerationServer(pipe, ServerConfig(batch_size=3, max_wait_ms=1,
+                                             **CFG)) as srv:
+        served = srv.generate("a cat", seed=7)
+    np.testing.assert_array_equal(served, direct)
+
+
+def test_concurrent_requests_batch_together(pipe):
+    cfg = ServerConfig(batch_size=4, max_wait_ms=500, **CFG)
+    with GenerationServer(pipe, cfg) as srv:
+        futures = [srv.submit(p, seed=s)
+                   for p, s in [("a cat", 1), ("a dog", 2), ("a bird", 3)]]
+        imgs = [f.result(timeout=120) for f in futures]
+    assert srv.stats.requests == 3
+    assert srv.stats.batches == 1, "concurrent requests must share a batch"
+    # different prompts/seeds -> different images
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])
+
+
+def test_distinct_seeds_distinct_images(pipe):
+    with GenerationServer(pipe, ServerConfig(batch_size=2, max_wait_ms=1,
+                                             **CFG)) as srv:
+        a = srv.generate("a cat", seed=1)
+        b = srv.generate("a cat", seed=2)
+        c = srv.generate("a cat", seed=1)
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(a, c)  # same signature -> deterministic
+
+
+def test_failed_batch_keeps_serving(pipe):
+    calls = {"n": 0}
+    real = pipe.__call__
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device error")
+        return real(*a, **kw)
+
+    srv = GenerationServer(flaky, ServerConfig(batch_size=2, max_wait_ms=1,
+                                               warmup=False, **CFG))
+    srv.start()
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            srv.generate("a cat", seed=1)
+        img = srv.generate("a cat", seed=1)  # server must still be alive
+        assert img.shape == (32, 32, 3)
+    finally:
+        srv.close()
+
+
+def test_socket_roundtrip(pipe, tmp_path):
+    from uce_tpu.serving import socket_api
+
+    sock = str(tmp_path / "uce.sock")
+    srv = GenerationServer(pipe, ServerConfig(batch_size=2, max_wait_ms=1,
+                                              **CFG)).start()
+    frontend = socket_api.SocketFrontend(srv, sock).start_background()
+    try:
+        out = str(tmp_path / "cat.png")
+        reply = socket_api.request(sock, {"prompt": "a cat", "seed": 7,
+                                          "save_path": out})
+        assert reply["status"] == "ok" and reply["path"] == out
+        from uce_tpu.utils.imaging import load_image
+
+        assert load_image(out).shape == (32, 32, 3)
+
+        reply = socket_api.request(sock, {"prompt": "a cat", "seed": 7})
+        assert reply["status"] == "ok"
+        import base64
+
+        assert base64.b64decode(reply["png_base64"])[:4] == b"\x89PNG"
+
+        stats = socket_api.request(sock, {"cmd": "stats"})
+        assert stats["status"] == "ok" and stats["requests"] == 2
+
+        bad = socket_api.request(sock, {"seed": 1})
+        assert bad["status"] == "error" and "prompt" in bad["error"]
+    finally:
+        frontend.close()
+        srv.close()
+
+
+def test_submit_after_close_raises(pipe):
+    srv = GenerationServer(pipe, ServerConfig(batch_size=2, warmup=False,
+                                              **CFG)).start()
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit("a cat")

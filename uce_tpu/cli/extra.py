@@ -14,6 +14,7 @@ def register(sub) -> None:
         flux_gen_cmd,
         hidream_gen_cmd,
         info_cmd,
+        serve_cmd,
     )
     from uce_tpu.eval import (
         baselines,
@@ -43,3 +44,4 @@ def register(sub) -> None:
     flux_gen_cmd.register_cli(sub)
     hidream_gen_cmd.register_cli(sub)
     info_cmd.register_cli(sub)
+    serve_cmd.register_cli(sub)

@@ -1,0 +1,73 @@
+"""``uce serve``: compile-once generation server over a Unix socket.
+
+Starts an SDPipeline (optionally with a UCE edit overlay), warms ONE
+static serving signature (batch x size x steps), and serves JSON-line
+requests with dynamic batching into that shape (uce_tpu/serving/). The
+reference has no serving path — its eval scripts reload the pipeline per
+process (evalscripts/generate-images-sd.py:13-15).
+
+Client example::
+
+    uce serve --model_id /models/sd14 --socket /tmp/uce.sock &
+    python -c "from uce_tpu.serving.socket_api import request; \
+        print(request('/tmp/uce.sock', {'prompt': 'a cat', 'seed': 7, \
+                                        'save_path': 'cat.png'}))"
+"""
+
+from __future__ import annotations
+
+
+def register_cli(sub) -> None:
+    p = sub.add_parser(
+        "serve", help="generation server with dynamic batching (Unix socket)")
+    p.add_argument("--model_id", type=str, required=True,
+                   help="local HF snapshot directory")
+    p.add_argument("--socket", type=str, default="/tmp/uce.sock")
+    p.add_argument("--uce_model_path", type=str, default=None,
+                   help="safetensors edit overlay to serve")
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="compiled serving batch (requests pad into it)")
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--scheduler", type=str, default=None)
+    p.add_argument("--max_wait_ms", type=float, default=50.0,
+                   help="max linger for batch fill once a request arrives")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the warmup batch (first request compiles)")
+    p.add_argument("--device", type=str, default=None)
+    p.set_defaults(func=_cmd)
+
+
+def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(args.device)
+    from uce_tpu.diffusion.pipeline import SDPipeline
+    from uce_tpu.serving.server import GenerationServer, ServerConfig
+    from uce_tpu.serving.socket_api import SocketFrontend
+
+    pipe = SDPipeline.from_pretrained(args.model_id)
+    if args.uce_model_path:
+        pipe.load_uce_edits(args.uce_model_path)
+    cfg = ServerConfig(
+        batch_size=args.batch_size,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        height=args.image_size, width=args.image_size,
+        scheduler=args.scheduler, max_wait_ms=args.max_wait_ms,
+        warmup=not args.no_warmup,
+    )
+    server = GenerationServer(pipe, cfg).start()
+    frontend = SocketFrontend(server, args.socket)
+    print(f"uce serve: listening on {args.socket} "
+          f"(batch={cfg.batch_size}, {cfg.height}x{cfg.width}, "
+          f"steps={cfg.num_inference_steps})", flush=True)
+    try:
+        frontend.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        frontend.close()
+        server.close()
+    return 0

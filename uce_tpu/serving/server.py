@@ -1,0 +1,203 @@
+"""Compile-once generation server with static-shape dynamic batching.
+
+The reference has no serving story — every eval script re-loads the
+pipeline per invocation (evalscripts/generate-images-sd.py:13-15). On TPU
+the economics invert: XLA compiles one denoising program per
+(batch, size, steps) signature (expensive over this environment's remote
+compiler), after which the chip serves that shape at steady-state
+throughput. This server is the TPU-idiomatic consequence:
+
+- ONE serving signature, chosen at startup (batch_size x HxW x steps),
+  jit-warmed before the first request is accepted;
+- dynamic batching INTO that static shape: requests queue, a batcher
+  thread gathers up to ``batch_size`` of them (waiting at most
+  ``max_wait_ms`` once the first request of a batch arrives), pads the
+  remainder with empty prompts, runs the compiled program once, and
+  fans results back out. Padding keeps the compiled shape constant —
+  no recompiles, ever, after warmup;
+- requests that don't fit the serving signature are rejected up front
+  (a TPU server re-specializing per request would spend minutes in the
+  compiler per shape — the caller picks the signature when starting
+  the server).
+
+All JAX work happens on the single batcher thread; submit() is
+thread-safe and returns a Future.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """The single serving signature this server compiles for."""
+
+    batch_size: int = 4
+    num_inference_steps: int = 50
+    guidance_scale: float = 7.5
+    height: int = 512
+    width: int = 512
+    scheduler: str | None = None
+    max_wait_ms: float = 50.0
+    warmup: bool = True
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    seed: int
+    negative_prompt: str = ""
+    future: Future = dataclasses.field(default_factory=Future)
+
+
+@dataclasses.dataclass
+class ServerStats:
+    batches: int = 0
+    requests: int = 0
+    padded_slots: int = 0
+    total_batch_seconds: float = 0.0
+
+    @property
+    def occupancy(self) -> float:
+        filled = self.requests
+        total = self.requests + self.padded_slots
+        return filled / total if total else 0.0
+
+
+class GenerationServer:
+    """Dynamic-batching front end over a pipeline's fixed serving shape.
+
+    ``pipe`` is any pipeline whose call signature matches SDPipeline
+    (prompt list, seed list, num_inference_steps, guidance_scale,
+    height, width, negative_prompt) and returns uint8 [N, H, W, 3].
+    """
+
+    def __init__(self, pipe, config: ServerConfig = ServerConfig()):
+        self.pipe = pipe
+        self.config = config
+        self.stats = ServerStats()
+        self._queue: queue.Queue[Request | None] = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._closed = False
+
+    # -- lifecycle ----------------------------------------------------
+
+    def start(self) -> "GenerationServer":
+        if self.config.warmup:
+            t0 = time.time()
+            self._run_batch([Request(prompt="", seed=0)])
+            logger.info("serving signature warmed in %.1f s "
+                        "(batch=%d %dx%d steps=%d)",
+                        time.time() - t0, self.config.batch_size,
+                        self.config.height, self.config.width,
+                        self.config.num_inference_steps)
+            # warmup batch does not count toward serving stats
+            self.stats = ServerStats()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="uce-batcher")
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=600)
+
+    def __enter__(self) -> "GenerationServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- client surface -----------------------------------------------
+
+    def submit(self, prompt: str, seed: int = 0,
+               negative_prompt: str = "") -> Future:
+        """Enqueue one generation; the Future resolves to uint8 [H, W, 3]."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        req = Request(prompt=prompt, seed=int(seed),
+                      negative_prompt=negative_prompt)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, prompt: str, seed: int = 0,
+                 negative_prompt: str = "") -> np.ndarray:
+        return self.submit(prompt, seed, negative_prompt).result()
+
+    # -- batcher ------------------------------------------------------
+
+    def _gather(self) -> list[Request] | None:
+        """Block for the first request, then collect up to batch_size,
+        waiting at most max_wait_ms for stragglers."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.config.max_wait_ms / 1000.0
+        while len(batch) < self.config.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post shutdown for the loop
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run_batch(self, batch: list[Request]) -> None:
+        cfg = self.config
+        n_real = len(batch)
+        n_pad = cfg.batch_size - n_real
+        prompts = [r.prompt for r in batch] + [""] * n_pad
+        seeds = [r.seed for r in batch] + [0] * n_pad
+        negatives = [r.negative_prompt for r in batch] + [""] * n_pad
+        t0 = time.time()
+        images = self.pipe(
+            prompts,
+            num_inference_steps=cfg.num_inference_steps,
+            guidance_scale=cfg.guidance_scale,
+            num_images_per_prompt=1,
+            seed=seeds,
+            height=cfg.height,
+            width=cfg.width,
+            scheduler=cfg.scheduler,
+            negative_prompt=negatives,
+        )
+        dt = time.time() - t0
+        self.stats.batches += 1
+        self.stats.requests += n_real
+        self.stats.padded_slots += n_pad
+        self.stats.total_batch_seconds += dt
+        for i, req in enumerate(batch):
+            req.future.set_result(np.asarray(images[i]))
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # fan the failure out, keep serving
+                logger.exception("batch failed")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)

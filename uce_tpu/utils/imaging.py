@@ -39,6 +39,30 @@ def _save_png_pure(array: np.ndarray, path: str) -> None:  # pragma: no cover
         f.write(png)
 
 
+def png_bytes(array: np.ndarray) -> bytes:
+    """Encode uint8 [H, W, 3] as PNG bytes (no file)."""
+    try:
+        from PIL import Image
+        import io
+
+        buf = io.BytesIO()
+        Image.fromarray(array).save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:  # pragma: no cover
+        h, w, _ = array.shape
+        raw = b"".join(b"\x00" + array[i].tobytes() for i in range(h))
+
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6))
+                + chunk(b"IEND", b""))
+
+
 def load_image(path: str) -> np.ndarray:
     from PIL import Image
 
