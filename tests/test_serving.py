@@ -124,6 +124,23 @@ def test_socket_roundtrip(pipe, tmp_path):
         srv.close()
 
 
+def test_flux_family_served(pipe):
+    """The batching core adapts to a pipeline family whose call signature
+    lacks scheduler/negative_prompt kwargs (FLUX)."""
+    from tests.test_flux_pipeline import tiny_flux_pipe
+
+    fpipe = tiny_flux_pipe.__wrapped__()  # undecorated fixture fn
+    cfg = ServerConfig(batch_size=2, max_wait_ms=1, num_inference_steps=2,
+                       guidance_scale=0.0, height=32, width=32)
+    with GenerationServer(fpipe, cfg) as srv:
+        img = srv.generate("a cat", seed=5)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    # a negative prompt must be rejected, not silently dropped
+    with GenerationServer(fpipe, cfg) as srv:
+        with pytest.raises(ValueError, match="negative"):
+            srv.submit("a cat", seed=1, negative_prompt="blurry").result()
+
+
 def test_submit_after_close_raises(pipe):
     srv = GenerationServer(pipe, ServerConfig(batch_size=2, warmup=False,
                                               **CFG)).start()

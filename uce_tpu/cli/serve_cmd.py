@@ -22,6 +22,11 @@ def register_cli(sub) -> None:
         "serve", help="generation server with dynamic batching (Unix socket)")
     p.add_argument("--model_id", type=str, required=True,
                    help="local HF snapshot directory")
+    p.add_argument("--family", type=str, default="sd",
+                   choices=["sd", "flux", "hidream"],
+                   help="pipeline family (sd covers SD v1/v2/SDXL)")
+    p.add_argument("--llama_dir", type=str, default=None,
+                   help="Llama snapshot for --family hidream")
     p.add_argument("--socket", type=str, default="/tmp/uce.sock")
     p.add_argument("--uce_model_path", type=str, default=None,
                    help="safetensors edit overlay to serve")
@@ -43,11 +48,22 @@ def _cmd(args) -> int:
     from uce_tpu.cli.main import apply_device_flag
 
     apply_device_flag(args.device)
-    from uce_tpu.diffusion.pipeline import SDPipeline
     from uce_tpu.serving.server import GenerationServer, ServerConfig
     from uce_tpu.serving.socket_api import SocketFrontend
 
-    pipe = SDPipeline.from_pretrained(args.model_id)
+    if args.family == "flux":
+        from uce_tpu.diffusion.pipeline_flux import FluxPipeline
+
+        pipe = FluxPipeline.from_pretrained(args.model_id)
+    elif args.family == "hidream":
+        from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
+
+        pipe = HiDreamPipeline.from_pretrained(args.model_id,
+                                               llama_dir=args.llama_dir)
+    else:
+        from uce_tpu.diffusion.pipeline import SDPipeline
+
+        pipe = SDPipeline.from_pretrained(args.model_id)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
     cfg = ServerConfig(

@@ -162,6 +162,33 @@ class GenerationServer:
             batch.append(nxt)
         return batch
 
+    def _pipe_kwargs(self, negatives: list[str]) -> dict:
+        """Adapt to the pipeline family's call signature: FLUX takes no
+        scheduler override or negative prompts, SD takes both. Dropping a
+        kwarg is only allowed when it carries its default value."""
+        import inspect
+
+        cfg = self.config
+        kwargs = dict(scheduler=cfg.scheduler, negative_prompt=negatives)
+        try:
+            params = inspect.signature(self.pipe.__call__).parameters
+        except (TypeError, ValueError):
+            return kwargs
+        if any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in params.values()):
+            return kwargs
+        out = {}
+        for key, value in kwargs.items():
+            if key in params:
+                out[key] = value
+            elif key == "scheduler" and cfg.scheduler is not None:
+                raise ValueError(
+                    "this pipeline family takes no scheduler override")
+            elif key == "negative_prompt" and any(negatives):
+                raise ValueError(
+                    "this pipeline family takes no negative prompts")
+        return out
+
     def _run_batch(self, batch: list[Request]) -> None:
         cfg = self.config
         n_real = len(batch)
@@ -178,8 +205,7 @@ class GenerationServer:
             seed=seeds,
             height=cfg.height,
             width=cfg.width,
-            scheduler=cfg.scheduler,
-            negative_prompt=negatives,
+            **self._pipe_kwargs(negatives),
         )
         dt = time.time() - t0
         self.stats.batches += 1
