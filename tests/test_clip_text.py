@@ -57,6 +57,36 @@ def test_parity_with_hf(hidden_act):
     )
 
 
+def test_parity_with_legacy_eos_sentinel():
+    """Real SD/SDXL/OpenAI-CLIP text configs carry the legacy
+    eos_token_id=2 while the tokenizer's actual eos is the max vocab id;
+    HF special-cases ==2 to argmax-of-ids pooling. Matching the literal id
+    would pool the BOS state (prompt-independent) — regression for that."""
+    tiny = dict(TINY, eos_token_id=2)
+    cfg = transformers.CLIPTextConfig(**tiny)
+    torch.manual_seed(0)
+    model = transformers.CLIPTextModel(cfg).eval()
+    our_cfg = clip_text.CLIPTextConfig.from_hf(cfg.to_dict())
+    params = clip_text.convert_hf_state_dict(model.state_dict(), our_cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(3, TINY["vocab_size"] - 2, size=(2, 16))
+    # the real tokenizer's eos: the max vocab id, NOT the config's 2
+    ids[0, 9] = TINY["vocab_size"] - 1
+    ids[1, 13] = TINY["vocab_size"] - 1
+
+    with torch.no_grad():
+        out = model(torch.tensor(ids))
+    _, ours_pooled, _ = clip_text.encode_tokens(params, jnp.asarray(ids),
+                                                our_cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours_pooled), out.pooler_output.numpy(),
+        rtol=2e-4, atol=2e-5)
+    # and the pooled outputs must differ across the batch (not BOS-pooled)
+    assert not np.allclose(np.asarray(ours_pooled[0]),
+                           np.asarray(ours_pooled[1]))
+
+
 def test_parity_with_projection():
     model, cfg = _tiny_torch_model(projection=True)
     d = cfg.to_dict()
@@ -73,6 +103,31 @@ def test_parity_with_projection():
     np.testing.assert_allclose(
         np.asarray(ours_pooled), out.text_embeds.numpy(), rtol=2e-4, atol=2e-5
     )
+
+
+def test_from_hf_sparse_composite_config():
+    """Composite CLIP checkpoints (openai/clip-vit-base-patch32) nest
+    text_config as a diff-from-default dict; absent keys must fall back to
+    the transformers CLIPTextConfig defaults, not KeyError."""
+    sparse = {"bos_token_id": 0, "eos_token_id": 2, "dropout": 0.0,
+              "model_type": "clip_text_model"}
+    cfg = clip_text.CLIPTextConfig.from_hf(sparse)
+    hf = transformers.CLIPTextConfig()  # the defaults the diff is against
+    assert cfg.vocab_size == hf.vocab_size
+    assert cfg.hidden_size == hf.hidden_size
+    assert cfg.num_hidden_layers == hf.num_hidden_layers
+    assert cfg.num_attention_heads == hf.num_attention_heads
+    assert cfg.intermediate_size == hf.intermediate_size
+    assert cfg.eos_token_id == 2
+
+    from uce_tpu.models.clip import CLIPVisionConfig
+
+    vcfg = CLIPVisionConfig.from_hf({"dropout": 0.0,
+                                     "model_type": "clip_vision_model"})
+    vhf = transformers.CLIPVisionConfig()
+    assert vcfg.hidden_size == vhf.hidden_size
+    assert vcfg.num_hidden_layers == vhf.num_hidden_layers
+    assert vcfg.intermediate_size == vhf.intermediate_size
 
 
 def test_random_init_runs():

@@ -106,3 +106,17 @@ def test_run_erase_exports(tmp_path):
     }
     for k in loaded:
         np.testing.assert_allclose(loaded[k], edited[k])
+
+
+def test_cli_rejects_sd_only_solver_flags(capsys):
+    """edit-flux/--method general must error, not silently run collapsed."""
+    import pytest
+
+    from uce_tpu.cli.main import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "edit-flux", "--edit_concepts", "x", "--concept_type", "art",
+        "--model_id", "/nonexistent", "--method", "general"])
+    with pytest.raises(SystemExit, match="not supported for FLUX"):
+        args.func(args)

@@ -179,3 +179,13 @@ def test_moe_gate_routes(rng):
         sw2 = np.asarray(p["shared"]["w2"]["weight"])
         ref[0, s] += (silu(xs @ sw1) * (xs @ sw3)) @ sw2
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_config_from_hf_null_out_channels():
+    """diffusers serializes 'out_channels': null meaning 'use in_channels';
+    the loader must not propagate None into shape arithmetic."""
+    from uce_tpu.models import hidream as hd_mod
+
+    cfg = hd_mod.HiDreamConfig.from_hf({"in_channels": 16,
+                                        "out_channels": None})
+    assert cfg.out_channels == 16

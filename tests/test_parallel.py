@@ -160,6 +160,32 @@ def test_unet_ffn_tp_specs():
     assert ff["2"]["weight"].sharding.spec == P("model", None)
 
 
+def test_quantized_params_shard_without_crashing():
+    """int8 dicts must survive TP placement: [1, out] 'scale' leaves under
+    to_out/ff would crash device_put with the row-parallel spec (a size-1
+    axis cannot be partitioned); they replicate, while the qint8 payload
+    still takes the weight's spec."""
+    from jax.sharding import PartitionSpec as P
+
+    from uce_tpu.models import quantize as quantize_mod
+    from uce_tpu.models import unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=32,
+        attention_head_dim=2, norm_num_groups=4)
+    params = quantize_mod.quantize_params(unet_mod.init_params(cfg, 0))
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_unet_params(params, mesh)  # must not raise
+    attn = sp["down_blocks"]["0"]["attentions"]["0"][
+        "transformer_blocks"]["0"]["attn1"]
+    out_w = attn["to_out"]["0"]["weight"]
+    assert out_w["scale"].sharding.spec == P()
+    assert out_w["qint8"].sharding.spec == P("model", None)
+
+
 def test_tensor_parallel_hidream_matches_replicated():
     import jax.numpy as jnp
 

@@ -24,6 +24,20 @@ def register_cli(sub) -> None:
     p.set_defaults(func=_cmd_hidream)
 
 
+def _reject_sd_only_flags(args, family: str) -> None:
+    """--method/--apply_on come from the shared flag set but only the
+    SD/SDXL path implements them; an explicitly requested non-default must
+    error, not be silently dropped."""
+    if args.method != "collapsed":
+        raise SystemExit(
+            f"--method {args.method} is not supported for {family} edits "
+            "(the per-stream solve always uses the collapsed XLA path)")
+    if args.apply_on != "device":
+        raise SystemExit(
+            f"--apply_on {args.apply_on} is not supported for {family} "
+            "edits")
+
+
 def _resolve(args):
     edits, guides, preserves = resolve_edit_request(
         args.edit_concepts, args.guide_concepts, args.preserve_concepts,
@@ -41,6 +55,7 @@ def _cmd_flux(args) -> int:
     apply_device_flag(args.device)
     from uce_tpu.edit import flux as edit_flux
 
+    _reject_sd_only_flags(args, "FLUX")
     edits, guides, preserves = _resolve(args)
     res = edit_flux.load_resources(args.model_id, args.max_sequence_length)
     edit_flux.run_erase(
@@ -56,6 +71,7 @@ def _cmd_hidream(args) -> int:
     apply_device_flag(args.device)
     from uce_tpu.edit import hidream as edit_hd
 
+    _reject_sd_only_flags(args, "HiDream")
     edits, guides, preserves = _resolve(args)
     res = edit_hd.load_resources(args.model_id, args.llama_dir,
                                  args.max_sequence_length)

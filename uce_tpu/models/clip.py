@@ -50,11 +50,14 @@ class CLIPVisionConfig:
 
     @classmethod
     def from_hf(cls, cfg: Mapping) -> "CLIPVisionConfig":
+        # Sparse (diff-from-default) vision_config dicts in composite CLIP
+        # checkpoints fall back to the transformers CLIPVisionConfig
+        # defaults, which coincide with this dataclass's.
         return cls(
-            hidden_size=cfg["hidden_size"],
-            num_hidden_layers=cfg["num_hidden_layers"],
-            num_attention_heads=cfg["num_attention_heads"],
-            intermediate_size=cfg["intermediate_size"],
+            hidden_size=cfg.get("hidden_size", 768),
+            num_hidden_layers=cfg.get("num_hidden_layers", 12),
+            num_attention_heads=cfg.get("num_attention_heads", 12),
+            intermediate_size=cfg.get("intermediate_size", 3072),
             image_size=cfg.get("image_size", 224),
             patch_size=cfg.get("patch_size", 32),
             projection_dim=cfg.get("projection_dim", 512),

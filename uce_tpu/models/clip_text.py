@@ -39,13 +39,19 @@ class CLIPTextConfig:
 
     @classmethod
     def from_hf(cls, cfg: Mapping) -> "CLIPTextConfig":
+        # Composite CLIP checkpoints (openai/clip-vit-base-patch32) nest
+        # text_config as a diff-from-default dict (old transformers
+        # to_diff_dict), so absent keys mean the transformers
+        # CLIPTextConfig DEFAULTS (hidden 512, 8 heads, ...) — not this
+        # dataclass's SD1.4 defaults. Standalone text_encoder configs
+        # (SD/SDXL snapshots) are fully serialized and unaffected.
         return cls(
             eos_token_id=cfg.get("eos_token_id", 49407),
-            vocab_size=cfg["vocab_size"],
-            hidden_size=cfg["hidden_size"],
-            num_hidden_layers=cfg["num_hidden_layers"],
-            num_attention_heads=cfg["num_attention_heads"],
-            intermediate_size=cfg["intermediate_size"],
+            vocab_size=cfg.get("vocab_size", 49408),
+            hidden_size=cfg.get("hidden_size", 512),
+            num_hidden_layers=cfg.get("num_hidden_layers", 12),
+            num_attention_heads=cfg.get("num_attention_heads", 8),
+            intermediate_size=cfg.get("intermediate_size", 2048),
             max_position_embeddings=cfg.get("max_position_embeddings", 77),
             hidden_act=cfg.get("hidden_act", "quick_gelu"),
             projection_dim=cfg.get("projection_dim"),
@@ -199,13 +205,16 @@ def encode_tokens(
     x, hiddens = jax.lax.scan(layer, x, params["layers"])
     last = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], eps)
 
-    # HF pools the post-final-LN hidden state at the eos position: the first
-    # occurrence of eos_token_id (modern transformers), falling back to
-    # argmax of token ids (legacy CLIP checkpoints where eos = max id).
-    if config.eos_token_id is not None:
-        eos_idx = jnp.argmax((input_ids == config.eos_token_id).astype(jnp.int32), -1)
-    else:
+    # HF pools the post-final-LN hidden state at the eos position. Real
+    # SD/SDXL/OpenAI-CLIP text configs serialize the LEGACY sentinel
+    # eos_token_id=2 while the tokenizer's actual eos is 49407 (the max
+    # vocab id); transformers special-cases ==2 to argmax of the token ids.
+    # Matching by literal id there would find no match and silently pool
+    # the prompt-independent BOS state.
+    if config.eos_token_id is None or config.eos_token_id == 2:
         eos_idx = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_idx = jnp.argmax((input_ids == config.eos_token_id).astype(jnp.int32), -1)
     pooled = last[jnp.arange(B), eos_idx]
     if "text_projection" in params:
         pooled = pooled @ params["text_projection"]

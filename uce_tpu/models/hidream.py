@@ -72,7 +72,11 @@ class HiDreamConfig:
         return cls(
             patch_size=cfg.get("patch_size", 2),
             in_channels=cfg.get("in_channels", 16),
-            out_channels=cfg.get("out_channels", cfg.get("in_channels", 16)),
+            # diffusers serializes 'out_channels': null meaning
+            # "use in_channels" — .get() returns the present null, so the
+            # fallback chain must survive an explicit None
+            out_channels=(cfg.get("out_channels")
+                          or cfg.get("in_channels") or 16),
             num_layers=cfg.get("num_layers", 16),
             num_single_layers=cfg.get("num_single_layers", 32),
             attention_head_dim=cfg.get("attention_head_dim", 128),

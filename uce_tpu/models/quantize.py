@@ -12,7 +12,9 @@ Default skips keep quality-critical ends of the network in bf16:
   * ``norm``                     (1-D scales anyway)
 The reference has no quantization (bf16 torch end-to-end,
 ``evalscripts/generate-images-sd.py:76``); this is a TPU deployment
-feature gated behind ``--quantize int8`` on the CLIs and ``bench.py``.
+feature, exercised by ``bench.py --quantize`` and
+``tools/trace_prof.py --quantize``. It is NOT the serving default: measured int8
+throughput on this part loses to bf16 at SD shapes (docs/PERF.md).
 """
 
 from __future__ import annotations

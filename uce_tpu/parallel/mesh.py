@@ -69,6 +69,12 @@ def shard_unet_params(params, mesh: Mesh):
 
     def spec_for(path, leaf):
         keys = _path_keys(path)
+        if "scale" in keys:
+            # int8 per-out-channel scales are [1, out]: tiny, and their
+            # size-1 leading axis cannot take the row-parallel spec —
+            # replicate (always correct under jit SPMD; the qint8 payload
+            # still shards via the weight rules below).
+            return P()
         if leaf.ndim == 2 and _is_attention_qkv(path):
             return P(None, "model")
         if leaf.ndim == 2 and _is_attention_out(path):
@@ -105,6 +111,8 @@ def shard_flux_params(params, mesh: Mesh):
 
     def spec_for(path, leaf):
         keys = _path_keys(path)
+        if "scale" in keys:  # int8 per-channel scales: replicate
+            return P()
         stacked = any(k in ("transformer_blocks", "single_transformer_blocks")
                       for k in keys)
         if not stacked or "norm" in keys or any(
@@ -147,6 +155,8 @@ def shard_hidream_params(params, mesh: Mesh):
 
     def spec_for(path, leaf):
         keys = _path_keys(path)
+        if "scale" in keys:  # int8 per-channel scales: replicate
+            return P()
         stacked = any(k in ("double_stream_blocks", "single_stream_blocks")
                       for k in keys)
         if not stacked or any(

@@ -23,7 +23,7 @@ def save_png(array: np.ndarray, path: str) -> None:
         _save_png_pure(array, path)
 
 
-def _save_png_pure(array: np.ndarray, path: str) -> None:  # pragma: no cover
+def _encode_png_pure(array: np.ndarray) -> bytes:
     h, w, _ = array.shape
     raw = b"".join(b"\x00" + array[i].tobytes() for i in range(h))
 
@@ -33,10 +33,13 @@ def _save_png_pure(array: np.ndarray, path: str) -> None:  # pragma: no cover
             ">I", zlib.crc32(c))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _save_png_pure(array: np.ndarray, path: str) -> None:  # pragma: no cover
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(_encode_png_pure(array))
 
 
 def png_bytes(array: np.ndarray) -> bytes:
@@ -49,18 +52,7 @@ def png_bytes(array: np.ndarray) -> bytes:
         Image.fromarray(array).save(buf, format="PNG")
         return buf.getvalue()
     except ImportError:  # pragma: no cover
-        h, w, _ = array.shape
-        raw = b"".join(b"\x00" + array[i].tobytes() for i in range(h))
-
-        def chunk(tag, data):
-            c = tag + data
-            return struct.pack(">I", len(data)) + c + struct.pack(
-                ">I", zlib.crc32(c))
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(raw, 6))
-                + chunk(b"IEND", b""))
+        return _encode_png_pure(array)
 
 
 def load_image(path: str) -> np.ndarray:
