@@ -147,3 +147,57 @@ def test_submit_after_close_raises(pipe):
     srv.close()
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit("a cat")
+
+
+def test_cancelled_future_does_not_poison_batch(pipe):
+    """A client cancelling its Future must not fail its batchmates."""
+    cfg = ServerConfig(batch_size=4, max_wait_ms=500, **CFG)
+    with GenerationServer(pipe, cfg) as srv:
+        doomed = srv.submit("a cat", seed=1)
+        keeper = srv.submit("a dog", seed=2)
+        assert doomed.cancel()
+        img = keeper.result(timeout=120)
+    assert img.shape == (32, 32, 3)
+
+
+def test_close_fails_orphaned_requests(pipe):
+    """A request left in the queue at close() must get an exception, not a
+    Future that never resolves."""
+    srv = GenerationServer(pipe, ServerConfig(batch_size=2, warmup=False,
+                                              **CFG))
+    # not started: nothing consumes the queue, emulating the submit/close
+    # race where a request lands behind the shutdown sentinel
+    fut = srv.submit("a cat", seed=1)
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=10)
+
+
+def test_unsupported_scheduler_fails_at_startup():
+    """Static config the pipeline family can't honor must fail start(),
+    not every future batch (esp. with warmup disabled)."""
+    from tests.test_flux_pipeline import tiny_flux_pipe
+
+    fpipe = tiny_flux_pipe.__wrapped__()
+    cfg = ServerConfig(batch_size=2, scheduler="ddim", warmup=False,
+                       num_inference_steps=2, guidance_scale=0.0,
+                       height=32, width=32)
+    with pytest.raises(ValueError, match="scheduler"):
+        GenerationServer(fpipe, cfg).start()
+
+
+def test_socket_path_not_stolen(pipe, tmp_path):
+    """A second frontend on a live socket must refuse to start instead of
+    silently unlinking the live server's endpoint."""
+    from uce_tpu.serving import socket_api
+
+    sock = str(tmp_path / "uce.sock")
+    srv = GenerationServer(pipe, ServerConfig(batch_size=2, warmup=False,
+                                              **CFG)).start()
+    frontend = socket_api.SocketFrontend(srv, sock).start_background()
+    try:
+        with pytest.raises(RuntimeError, match="already listening"):
+            socket_api.SocketFrontend(srv, sock)
+    finally:
+        frontend.close()
+        srv.close()

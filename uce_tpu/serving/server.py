@@ -89,10 +89,36 @@ class GenerationServer:
         self._queue: queue.Queue[Request | None] = queue.Queue()
         self._thread: threading.Thread | None = None
         self._closed = False
+        self._lock = threading.Lock()  # orders submit() against close()
+        self._pipe_param_names = self._inspect_pipe_params()
+
+    def _inspect_pipe_params(self) -> frozenset | None:
+        """Parameter names of the pipeline's call signature, or None when
+        it takes **kwargs (accepts everything). Computed once — the
+        pipeline is fixed for the server's lifetime."""
+        import inspect
+
+        try:
+            params = inspect.signature(self.pipe.__call__).parameters
+        except (TypeError, ValueError):
+            return None
+        if any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in params.values()):
+            return None
+        return frozenset(params)
+
+    def _pipe_supports(self, name: str) -> bool:
+        return self._pipe_param_names is None or \
+            name in self._pipe_param_names
 
     # -- lifecycle ----------------------------------------------------
 
     def start(self) -> "GenerationServer":
+        # static config errors must fail startup, not every future batch
+        if self.config.scheduler is not None and \
+                not self._pipe_supports("scheduler"):
+            raise ValueError(
+                "this pipeline family takes no scheduler override")
         if self.config.warmup:
             t0 = time.time()
             self._run_batch([Request(prompt="", seed=0)])
@@ -109,12 +135,22 @@ class GenerationServer:
         return self
 
     def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         if self._thread is not None:
             self._thread.join(timeout=600)
+        # fail any request that raced past the sentinel instead of leaving
+        # its Future pending forever
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("server is closed"))
 
     def __enter__(self) -> "GenerationServer":
         return self.start()
@@ -126,12 +162,19 @@ class GenerationServer:
 
     def submit(self, prompt: str, seed: int = 0,
                negative_prompt: str = "") -> Future:
-        """Enqueue one generation; the Future resolves to uint8 [H, W, 3]."""
-        if self._closed:
-            raise RuntimeError("server is closed")
+        """Enqueue one generation; the Future resolves to uint8 [H, W, 3].
+
+        A request the pipeline family cannot honor is rejected HERE so it
+        cannot poison the other requests in its batch."""
+        if negative_prompt and not self._pipe_supports("negative_prompt"):
+            raise ValueError(
+                "this pipeline family takes no negative prompts")
         req = Request(prompt=prompt, seed=int(seed),
                       negative_prompt=negative_prompt)
-        self._queue.put(req)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         return req.future
 
     def generate(self, prompt: str, seed: int = 0,
@@ -164,32 +207,23 @@ class GenerationServer:
 
     def _pipe_kwargs(self, negatives: list[str]) -> dict:
         """Adapt to the pipeline family's call signature: FLUX takes no
-        scheduler override or negative prompts, SD takes both. Dropping a
-        kwarg is only allowed when it carries its default value."""
-        import inspect
-
+        scheduler override or negative prompts, SD takes both. Unsupported
+        non-default values were already rejected at start()/submit()."""
         cfg = self.config
-        kwargs = dict(scheduler=cfg.scheduler, negative_prompt=negatives)
-        try:
-            params = inspect.signature(self.pipe.__call__).parameters
-        except (TypeError, ValueError):
-            return kwargs
-        if any(p.kind is inspect.Parameter.VAR_KEYWORD
-               for p in params.values()):
-            return kwargs
         out = {}
-        for key, value in kwargs.items():
-            if key in params:
-                out[key] = value
-            elif key == "scheduler" and cfg.scheduler is not None:
-                raise ValueError(
-                    "this pipeline family takes no scheduler override")
-            elif key == "negative_prompt" and any(negatives):
-                raise ValueError(
-                    "this pipeline family takes no negative prompts")
+        if self._pipe_supports("scheduler"):
+            out["scheduler"] = cfg.scheduler
+        if self._pipe_supports("negative_prompt"):
+            out["negative_prompt"] = negatives
         return out
 
     def _run_batch(self, batch: list[Request]) -> None:
+        # drop requests whose Future was cancelled by the client; calling
+        # set_result on them would raise and poison their batchmates
+        batch = [r for r in batch
+                 if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         cfg = self.config
         n_real = len(batch)
         n_pad = cfg.batch_size - n_real

@@ -71,7 +71,20 @@ class SocketFrontend:
         self.gen_server = gen_server
         self.socket_path = socket_path
         if os.path.exists(socket_path):
-            os.unlink(socket_path)
+            # only reclaim a DEAD endpoint; blindly unlinking would steal
+            # a live server's socket with no error on either side
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.settimeout(1.0)
+                probe.connect(socket_path)
+            except (ConnectionRefusedError, socket.timeout, OSError):
+                os.unlink(socket_path)  # stale leftover
+            else:
+                probe.close()
+                raise RuntimeError(
+                    f"a server is already listening on {socket_path}")
+            finally:
+                probe.close()
         self._sock = _ThreadingUnixServer(socket_path, _Handler)
         self._sock.frontend = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
