@@ -156,14 +156,24 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     return batch / sec_per_run
 
 
-def bench_flux(batch: int = 4) -> float:
+def bench_flux(batch: int = 4, w8: bool = False,
+               _tiny: bool = False) -> float:
     """FLUX-schnell protocol (reference: inference_flux.ipynb cell 4 —
-    4 steps, CFG 0, max_sequence_length 256) at 512x512, HALF-DEPTH DiT
-    (9 dual + 19 single blocks, ~6 GB bf16): the full 12 B-param model
-    exceeds a single v5e's 16 GB HBM in bf16 (multi-chip TP territory —
-    parallel/mesh.py shard_flux_params), so the single-chip number is a
-    per-block-honest proxy; scale by ~2x for full depth. Secondary
-    metric on stderr; returns images/second."""
+    4 steps, CFG 0, max_sequence_length 256) at 512x512.
+
+    Default: HALF-DEPTH DiT (9 dual + 19 single blocks, ~6 GB bf16) —
+    the full 12 B-param model exceeds a single v5e's 16 GB HBM in bf16
+    (multi-chip TP territory — parallel/mesh.py shard_flux_params), so
+    the single-chip bf16 number is a per-block-honest proxy; scale by
+    ~2x for full depth.
+
+    ``w8=True``: FULL-DEPTH (19 dual + 38 single) with weight-only int8
+    (models/quantize.py mode="w8", ~12 GB int8 + bf16 arithmetic) — the
+    whole 12 B-param DiT served from ONE chip. Secondary metric on
+    stderr; returns images/second.
+
+    ``_tiny=True`` is a CPU smoke hook (tests/test_quant.py): tiny
+    dims, same code path."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -171,8 +181,19 @@ def bench_flux(batch: int = 4) -> float:
     from uce_tpu.diffusion.pipeline_flux import make_img_ids
     from uce_tpu.models import flux as flux_mod
 
-    config = flux_mod.FluxConfig(guidance_embeds=False,  # schnell
-                                 num_layers=9, num_single_layers=19)
+    if _tiny:
+        base = dict(in_channels=16, attention_head_dim=8,
+                    num_attention_heads=2, joint_attention_dim=32,
+                    pooled_projection_dim=24, guidance_embeds=False,
+                    axes_dims_rope=(4, 2, 2))
+        config = flux_mod.FluxConfig(num_layers=2, num_single_layers=2,
+                                     **base)
+    else:
+        base = dict(guidance_embeds=False)
+        config = (flux_mod.FluxConfig(**base)  # schnell, full depth
+                  if w8 else
+                  flux_mod.FluxConfig(num_layers=9, num_single_layers=19,
+                                      **base))
     # Initialize on DEVICE: the host->device tunnel moves ~30 MB/s and a
     # host init materializes ~13 GB fp32, so neither is benchable.
     # (TPU matmul/softmax timing is value-independent, so constant fills
@@ -180,13 +201,17 @@ def bench_flux(batch: int = 4) -> float:
     # materialization, and per-shape eager-compile round-trips: build
     # the shape tree from a 1-block config, replicate the repeated
     # block subtrees, then run ONE jitted fill program on the chip.)
-    small = flux_mod.FluxConfig(guidance_embeds=False,
-                                num_layers=1, num_single_layers=1)
+    small = flux_mod.FluxConfig(num_layers=1, num_single_layers=1, **base)
     proto = flux_mod.init_params(small, 0, 0.02)
+    if w8:
+        from uce_tpu.models import quantize as quantize_mod
 
-    class _Spec:  # sentinel leaf: (shape, fill value)
-        def __init__(self, shape, val):
-            self.shape, self.val = shape, val
+        proto = quantize_mod.quantize_params(
+            proto, quantize_mod.FLUX_SKIP, mode="w8")
+
+    class _Spec:  # sentinel leaf: (shape, fill value, dtype)
+        def __init__(self, shape, val, dtype):
+            self.shape, self.val, self.dtype = shape, val, dtype
 
     def _respec(tree, depth):
         # block params are scan-stacked with a leading layer axis —
@@ -194,13 +219,21 @@ def bench_flux(batch: int = 4) -> float:
         # fill: 1.0 for norm scales (1-D leaves, or [1, d] once the layer
         # axis is counted out on stacked block leaves), 0.0 elsewhere —
         # the values only need to keep the arithmetic finite, not
-        # realistic
-        def spec(l):
+        # realistic. int8 payloads and f32 quantization scales keep their
+        # dtypes; float leaves stay bf16.
+        def spec(path, l):
             eff_ndim = l.ndim - (1 if depth else 0)
+            last = getattr(path[-1], "key", None) if path else None
+            if l.dtype == jnp.int8:        # w8 payload
+                dtype, val = jnp.int8, 0
+            elif last == "scale":          # w8 per-channel scale: f32
+                dtype, val = jnp.float32, 1.0
+            else:                          # float params run bf16
+                dtype, val = jnp.bfloat16, 1.0 if eff_ndim == 1 else 0.0
             return _Spec((depth,) + l.shape[1:] if depth else l.shape,
-                         1.0 if eff_ndim == 1 else 0.0)
+                         val, dtype)
 
-        return jax.tree.map(spec, tree)
+        return jax.tree_util.tree_map_with_path(spec, tree)
 
     spec_tree = {
         k: _respec(v, {"transformer_blocks": config.num_layers,
@@ -213,19 +246,26 @@ def bench_flux(batch: int = 4) -> float:
 
     @jax.jit
     def _fill():
-        return [jnp.full(s.shape, s.val, jnp.bfloat16) for s in specs]
+        return [jnp.full(s.shape, s.val, s.dtype) for s in specs]
 
     params = jax.tree.unflatten(treedef, _fill())
     rng = np.random.default_rng(0)
-    s_img, s_txt = 1024, 256  # 512x512 -> 32x32 packed 2x2 patches
-    lat = jnp.asarray(rng.standard_normal((batch, s_img, 64)), jnp.bfloat16)
-    t5 = jnp.asarray(rng.standard_normal((batch, s_txt, 4096)) * 0.1,
-                     jnp.bfloat16)
-    pooled = jnp.asarray(rng.standard_normal((batch, 768)) * 0.1,
-                         jnp.bfloat16)
+    if _tiny:
+        s_img, s_txt, lat_hw = 16, 8, 8
+    else:
+        s_img, s_txt, lat_hw = 1024, 256, 64  # 512x512 -> 32x32 2x2 patches
+    lat = jnp.asarray(
+        rng.standard_normal((batch, s_img, config.in_channels)),
+        jnp.bfloat16)
+    t5 = jnp.asarray(
+        rng.standard_normal((batch, s_txt, config.joint_attention_dim)) * 0.1,
+        jnp.bfloat16)
+    pooled = jnp.asarray(
+        rng.standard_normal((batch, config.pooled_projection_dim)) * 0.1,
+        jnp.bfloat16)
     # 512x512 -> 64x64 latents -> 32x32 packed patches (ids take the
     # latent dims and halve internally)
-    img_ids, txt_ids = make_img_ids(64, 64), np.zeros((s_txt, 3))
+    img_ids, txt_ids = make_img_ids(lat_hw, lat_hw), np.zeros((s_txt, 3))
     sigmas = jnp.linspace(1.0, 0.0, 5)
 
     @jax.jit
@@ -278,6 +318,10 @@ def main() -> int:
     ap.add_argument("--flux", action="store_true",
                     help="also time the FLUX-schnell 4-step DiT protocol "
                          "(secondary metric, stderr)")
+    ap.add_argument("--flux_w8", action="store_true",
+                    help="also time FULL-DEPTH FLUX-schnell with "
+                         "weight-only int8 (12 B params on one chip; "
+                         "secondary metric, stderr)")
     ap.add_argument("--skip_edit", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute per-step cost to op families by "
@@ -342,6 +386,13 @@ def main() -> int:
         print(f"flux-schnell 512x512 4-step half-depth DiT: "
               f"{flux_img_s:.3f} img/s (secondary; ~/2 for full depth; "
               "excludes T5/VAE)", file=sys.stderr)
+
+    if args.flux_w8:
+        flux_w8_img_s = bench_flux(w8=True)
+        print(f"flux-schnell 512x512 4-step FULL-DEPTH w8 DiT "
+              f"(12 B params, weight-only int8, one chip): "
+              f"{flux_w8_img_s:.3f} img/s (secondary; excludes T5/VAE)",
+              file=sys.stderr)
 
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
                                  args.quantize)

@@ -147,3 +147,174 @@ def test_tiny_unet_quantized_forward_close(rng):
         lambda p, l, c: unet_mod.apply(p, l, t, c, config)
     )(qparams, lat, ctx))
     np.testing.assert_allclose(jit_out, got, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# weight-only int8 ("w8"): bf16 arithmetic, int8 storage (memory mode)
+# ---------------------------------------------------------------------------
+
+def test_wlinear_matches_manual_dequant(rng):
+    x = jnp.asarray(rng.standard_normal((4, 10, 48)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((48, 24)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((24,)) * 0.1, jnp.float32)
+    qw = quant.quantize_weight(w, weight_only=True)
+    assert qw[quant.WKEY].dtype == jnp.int8 and "scale" in qw
+    deq = np.asarray(qw[quant.WKEY], np.float32) * np.asarray(qw["scale"])
+    ref = np.asarray(x) @ deq + np.asarray(b)
+    got = np.asarray(quant.wlinear(x, qw, b))
+    # fp32 activations: exact up to matmul accumulation order
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    rel = np.abs(got - np.asarray(x @ w + b)).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("stride,padding,ksize", [
+    (1, 1, 3), (2, 1, 3), (1, 0, 1),
+])
+def test_wconv2d_matches_float(rng, stride, padding, ksize):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((ksize, ksize, 16, 12)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((12,)) * 0.1, jnp.float32)
+    ref = np.asarray(conv2d(x, k, b, stride=stride, padding=padding))
+    got = np.asarray(conv2d(x, quant.quantize_weight(k, weight_only=True),
+                            b, stride=stride, padding=padding))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.01, rel
+
+
+def test_layer_dispatch_on_weight_only(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 16)) * 0.1, jnp.float32)
+    got = np.asarray(linear(x, quant.quantize_weight(w, weight_only=True)))
+    ref = np.asarray(linear(x, w))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.01
+
+
+def test_concat_weights_weight_only(rng):
+    ws = [jnp.asarray(rng.standard_normal((16, 8)) * 0.1, jnp.float32)
+          for _ in range(3)]
+    qws = [quant.quantize_weight(w, weight_only=True) for w in ws]
+    cat = quant.concat_weights(qws)
+    assert quant.is_weight_only(cat)
+    assert cat[quant.WKEY].shape == (16, 24)
+    assert cat["scale"].shape == (1, 24)
+    # mixed raw/quantized falls back
+    assert quant.concat_weights([ws[0], qws[1]]) is None
+
+
+def test_quantize_params_w8_flux_skips_and_per_layer_scales(rng):
+    from uce_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=2,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    params = flux_mod.init_params(cfg, 0)
+    qp = quantize.quantize_params(params, quantize.FLUX_SKIP, mode="w8")
+
+    # edit targets + entry/exit stay float
+    for key in ("x_embedder", "context_embedder", "proj_out"):
+        assert not quant.is_weight_only(qp[key]["weight"]), key
+    assert not quant.is_weight_only(
+        qp["time_text_embed"]["text_embedder"]["linear_1"]["weight"])
+    assert not quant.is_weight_only(qp["norm_out"]["linear"]["weight"])
+    # block projections (incl. adaLN and the single-block proj_out)
+    # quantize with per-layer scales
+    blocks = qp["transformer_blocks"]
+    for sub in (blocks["attn"]["to_q"], blocks["norm1"]["linear"],
+                qp["single_transformer_blocks"]["proj_out"]):
+        w = sub["weight"]
+        assert quant.is_weight_only(w)
+        assert w[quant.WKEY].shape[0] == 2          # stacked depth
+        assert w["scale"].shape[:2] == (2, 1)       # per-layer scales
+    # stacked RMSNorm scales ([L, d] "weight" leaves) stay float
+    assert not quant.is_weight_only(blocks["attn"]["norm_q"]["weight"])
+
+
+def test_tiny_flux_w8_forward_close(rng):
+    import jax
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=2,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    params = flux_mod.init_params(cfg, 0, 0.1)
+    qp = quantize.quantize_params(params, quantize.FLUX_SKIP, mode="w8")
+
+    lat = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((2, 8, 16)) * 0.3, jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((2, 24)) * 0.3, jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    img_ids, txt_ids = make_img_ids(8, 8), np.zeros((8, 3))
+
+    fwd = jax.jit(lambda p, z: flux_mod.apply(
+        p, z, t5, pooled, t, img_ids, txt_ids, cfg))
+    ref = np.asarray(fwd(params, lat))
+    got = np.asarray(fwd(qp, lat))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.998, cos
+
+
+def test_bench_flux_tiny_smoke_both_modes():
+    """bench.py's FLUX device-fill machinery (spec tree, dtype rules,
+    w8-quantized proto widening) must execute end-to-end; the full-size
+    configs only differ in dims."""
+    import bench
+
+    assert bench.bench_flux(batch=1, w8=False, _tiny=True) > 0
+    assert bench.bench_flux(batch=1, w8=True, _tiny=True) > 0
+
+
+def test_tiny_hidream_w8_forward_close(rng):
+    import jax
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import hidream as hd_mod
+
+    cfg = hd_mod.HiDreamConfig(
+        patch_size=2, in_channels=4, out_channels=4, num_layers=2,
+        num_single_layers=2, attention_head_dim=8, num_attention_heads=2,
+        caption_channels=(16, 16), text_emb_dim=20, num_routed_experts=2,
+        num_activated_experts=1, axes_dims_rope=(4, 2, 2),
+        llama_layers=(0, 1, 2, 3), ffn_multiple_of=8)
+    params = hd_mod.init_params(cfg, 0, 0.1)
+    qp = quantize.quantize_params(params, quantize.HIDREAM_SKIP, mode="w8")
+
+    # edit targets + router gate stay float; experts get per-layer,
+    # per-expert scales
+    assert not quant.is_weight_only(
+        qp["caption_projection"]["llama"]["weight"])
+    dsb = qp["double_stream_blocks"]
+    assert not quant.is_weight_only(dsb["ff_i"]["gate"]["weight"])
+    ew = dsb["ff_i"]["experts"]["w1"]["weight"]
+    assert quant.is_weight_only(ew)
+    assert ew["scale"].shape[:3] == (2, 2, 1)  # [L, E, 1, out]
+
+    hx = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((2, 6, 16)) * 0.3, jnp.float32)
+    llama = jnp.asarray(rng.standard_normal((4, 2, 5, 16)) * 0.3,
+                        jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((2, 20)) * 0.3, jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    img_ids = make_img_ids(8, 8)
+
+    fwd = jax.jit(lambda p, z: hd_mod.apply(
+        p, z, t5, llama, pooled, t, img_ids, cfg))
+    ref = np.asarray(fwd(params, hx))
+    got = np.asarray(fwd(qp, hx))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.998, cos

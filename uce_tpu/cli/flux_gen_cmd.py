@@ -21,6 +21,10 @@ def register_cli(sub) -> None:
     p.add_argument("--num_inference_steps", type=int, default=4)
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--max_sequence_length", type=int, default=None)
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["w8", "int8"],
+                   help="quantize the DiT: w8 = weight-only int8 (half "
+                        "weight HBM; fits the 12B DiT on a 16 GB chip)")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
@@ -39,6 +43,8 @@ def _cmd(args) -> int:
         args.model_name, max_sequence_length=args.max_sequence_length)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
+    if args.quantize:
+        pipe.quantize_weights(args.quantize)
 
     folder = os.path.join(
         args.save_path,

@@ -30,6 +30,10 @@ def register_cli(sub) -> None:
     p.add_argument("--socket", type=str, default="/tmp/uce.sock")
     p.add_argument("--uce_model_path", type=str, default=None,
                    help="safetensors edit overlay to serve")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["w8", "int8"],
+                   help="quantize model weights: w8 = weight-only int8 "
+                        "(half weight HBM, bf16 arithmetic)")
     p.add_argument("--batch_size", type=int, default=4,
                    help="compiled serving batch (requests pad into it)")
     p.add_argument("--num_inference_steps", type=int, default=50)
@@ -66,6 +70,8 @@ def _cmd(args) -> int:
         pipe = SDPipeline.from_pretrained(args.model_id)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
+    if args.quantize:
+        pipe.quantize_weights(args.quantize)
     cfg = ServerConfig(
         batch_size=args.batch_size,
         num_inference_steps=args.num_inference_steps,

@@ -93,6 +93,23 @@ class SDPipeline:
         edits = load_file(safetensors_path)
         self.unet_params = unet_mod.overlay_edits(self.unet_params, edits)
 
+    def quantize_weights(self, mode: str = "w8") -> None:
+        """Quantize UNet + VAE weights in place (models/quantize.py).
+
+        ``mode="w8"`` = weight-only int8 (bf16 arithmetic, half weight
+        HBM); ``mode="int8"`` = W8A8 int8 MXU ops (measured slower than
+        bf16 at SD shapes on this part — docs/PERF.md). Apply edits
+        BEFORE quantizing for quantized edit targets, or after — the
+        overlay replaces the quantized slot with the float edit, and the
+        layer dispatch handles mixed trees.
+        """
+        from uce_tpu.models import quantize as quantize_mod
+
+        self.unet_params = quantize_mod.quantize_params(
+            self.unet_params, quantize_mod.UNET_SKIP, mode=mode)
+        self.vae_params = quantize_mod.quantize_params(
+            self.vae_params, quantize_mod.VAE_SKIP, mode=mode)
+
     # ------------------------------------------------------------- encode
     def encode_prompts(self, prompts: Sequence[str]):
         if self.is_sdxl:

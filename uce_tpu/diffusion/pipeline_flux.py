@@ -122,6 +122,26 @@ class FluxPipeline:
             dtype=dtype, max_sequence_length=max_sequence_length,
         )
 
+    def quantize_weights(self, mode: str = "w8") -> None:
+        """Quantize the DiT weights in place (models/quantize.py).
+
+        ``mode="w8"`` (weight-only int8, bf16 arithmetic) halves the
+        transformer's HBM residency — the 12 B-param FLUX DiT fits one
+        16 GB v5e chip (~12 GB int8 vs 24 GB bf16; ``bench.py
+        --flux_w8``). The UCE edit targets (context_embedder,
+        text_embedder.linear_1) stay float (quantize.FLUX_SKIP), so edit
+        overlays apply exactly in either order. Encoders/VAE are left
+        untouched; serving the FULL pipeline single-chip additionally
+        needs the reference's staged encoder load
+        (uce_flux_edit.py:15-41) — encode prompts, then free T5.
+        """
+        from uce_tpu.models import quantize as quantize_mod
+
+        self.transformer_params = quantize_mod.quantize_params(
+            self.transformer_params, quantize_mod.FLUX_SKIP, mode=mode)
+        # (the jitted generate fns take params as arguments, so the new
+        # pytree structure re-traces automatically)
+
     def load_uce_edits(self, safetensors_path: str) -> None:
         """Overlay UCE-edited text-entry projections (uce_flux_edit.py
         artifacts: context_embedder / text_embedder.linear_1)."""

@@ -130,6 +130,20 @@ class HiDreamPipeline:
             dtype=dtype, max_sequence_length=max_sequence_length,
         )
 
+    def quantize_weights(self, mode: str = "w8") -> None:
+        """Quantize the MoE DiT weights in place (models/quantize.py).
+
+        ``mode="w8"`` = weight-only int8 (bf16 arithmetic) with
+        per-(layer, expert, out-channel) scales on the routed-expert
+        banks — halves the 17 B-param transformer's HBM residency. The
+        UCE edit targets (caption_projection.*) and the MoE router gate
+        stay float (quantize.HIDREAM_SKIP).
+        """
+        from uce_tpu.models import quantize as quantize_mod
+
+        self.transformer_params = quantize_mod.quantize_params(
+            self.transformer_params, quantize_mod.HIDREAM_SKIP, mode=mode)
+
     def load_uce_edits(self, safetensors_path: str) -> None:
         """Overlay UCE-edited caption projections (uce_hidream_edit.py
         artifacts: 'caption_projection.<i>.linear.weight' keys)."""

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uce_tpu.models.hf_loader import stack_layers, to_numpy_state_dict
-from uce_tpu.models.layers import timestep_embedding
+from uce_tpu.models.layers import mm, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +110,13 @@ def _attention(q, k, v):
                                  scale=q.shape[-1] ** -0.5)
 
 
+# weight-only-int8-aware projection (models/quantize.py mode="w8" — the
+# memory mode that fits the full 12 B-param DiT in one 16 GB chip's HBM;
+# inside the depth lax.scan the stacked dict leaves are sliced per layer
+# like any other block param)
+_mm = mm
+
+
 def _heads(x, h):
     b, s, d = x.shape
     return x.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
@@ -132,15 +139,13 @@ def apply(params: dict, latents: jnp.ndarray, t5_embeds: jnp.ndarray,
     H = cfg.num_attention_heads
     dtype = latents.dtype
 
-    x = latents @ params["x_embedder"]["weight"] + params["x_embedder"]["bias"]
-    enc = (t5_embeds @ params["context_embedder"]["weight"]
-           + params["context_embedder"]["bias"])
+    x = _mm(latents, params["x_embedder"])
+    enc = _mm(t5_embeds, params["context_embedder"])
 
     tte = params["time_text_embed"]
 
     def mlp_embed(p, v):
-        h = v @ p["linear_1"]["weight"] + p["linear_1"]["bias"]
-        return jax.nn.silu(h) @ p["linear_2"]["weight"] + p["linear_2"]["bias"]
+        return _mm(jax.nn.silu(_mm(v, p["linear_1"])), p["linear_2"])
 
     t_proj = timestep_embedding(timestep.astype(jnp.float32) * 1000.0, 256
                                 ).astype(dtype)
@@ -157,8 +162,7 @@ def apply(params: dict, latents: jnp.ndarray, t5_embeds: jnp.ndarray,
     cos, sin = rope_freqs(ids, cfg.axes_dims_rope)
 
     def ada_chunks(p, n):
-        out = temb_act @ p["linear"]["weight"] + p["linear"]["bias"]
-        return jnp.split(out, n, axis=-1)
+        return jnp.split(_mm(temb_act, p["linear"]), n, axis=-1)
 
     # ---------------- double-stream blocks (scan over depth) -------------
     def double_block(carry, p):
@@ -172,14 +176,14 @@ def apply(params: dict, latents: jnp.ndarray, t5_embeds: jnp.ndarray,
         he = _ln(enc) * (1 + csc_m) + csh_m
 
         a = p["attn"]
-        q = _heads(hx @ a["to_q"]["weight"] + a["to_q"]["bias"], H)
-        k = _heads(hx @ a["to_k"]["weight"] + a["to_k"]["bias"], H)
-        v = _heads(hx @ a["to_v"]["weight"] + a["to_v"]["bias"], H)
+        q = _heads(_mm(hx, a["to_q"]), H)
+        k = _heads(_mm(hx, a["to_k"]), H)
+        v = _heads(_mm(hx, a["to_v"]), H)
         q = _rms(q, a["norm_q"]["weight"])
         k = _rms(k, a["norm_k"]["weight"])
-        eq = _heads(he @ a["add_q_proj"]["weight"] + a["add_q_proj"]["bias"], H)
-        ek = _heads(he @ a["add_k_proj"]["weight"] + a["add_k_proj"]["bias"], H)
-        ev = _heads(he @ a["add_v_proj"]["weight"] + a["add_v_proj"]["bias"], H)
+        eq = _heads(_mm(he, a["add_q_proj"]), H)
+        ek = _heads(_mm(he, a["add_k_proj"]), H)
+        ev = _heads(_mm(he, a["add_v_proj"]), H)
         eq = _rms(eq, a["norm_added_q"]["weight"])
         ek = _rms(ek, a["norm_added_k"]["weight"])
 
@@ -191,21 +195,16 @@ def apply(params: dict, latents: jnp.ndarray, t5_embeds: jnp.ndarray,
         out = _unheads(_attention(q, k, v))
         enc_out, x_out = out[:, :s_txt], out[:, s_txt:]
 
-        x = x + g_m * (x_out @ a["to_out"]["0"]["weight"]
-                       + a["to_out"]["0"]["bias"])
-        enc = enc + cg_m * (enc_out @ a["to_add_out"]["weight"]
-                            + a["to_add_out"]["bias"])
+        x = x + g_m * _mm(x_out, a["to_out"]["0"])
+        enc = enc + cg_m * _mm(enc_out, a["to_add_out"])
 
         hx = _ln(x) * (1 + sc_f) + sh_f
         ff = p["ff"]["net"]
-        x = x + g_f * (_gelu_tanh(hx @ ff["0"]["proj"]["weight"]
-                                  + ff["0"]["proj"]["bias"])
-                       @ ff["2"]["weight"] + ff["2"]["bias"])
+        x = x + g_f * _mm(_gelu_tanh(_mm(hx, ff["0"]["proj"])), ff["2"])
         he = _ln(enc) * (1 + csc_f) + csh_f
         ffc = p["ff_context"]["net"]
-        enc = enc + cg_f * (_gelu_tanh(he @ ffc["0"]["proj"]["weight"]
-                                       + ffc["0"]["proj"]["bias"])
-                            @ ffc["2"]["weight"] + ffc["2"]["bias"])
+        enc = enc + cg_f * _mm(_gelu_tanh(_mm(he, ffc["0"]["proj"])),
+                               ffc["2"])
         return (x, enc), None
 
     (x, enc), _ = jax.lax.scan(double_block, (x, enc),
@@ -218,28 +217,26 @@ def apply(params: dict, latents: jnp.ndarray, t5_embeds: jnp.ndarray,
         (sh, sc, gate) = [c[:, None] for c in ada_chunks(p["norm"], 3)]
         hn = _ln(h) * (1 + sc) + sh
         a = p["attn"]
-        q = _heads(hn @ a["to_q"]["weight"] + a["to_q"]["bias"], H)
-        k = _heads(hn @ a["to_k"]["weight"] + a["to_k"]["bias"], H)
-        v = _heads(hn @ a["to_v"]["weight"] + a["to_v"]["bias"], H)
+        q = _heads(_mm(hn, a["to_q"]), H)
+        k = _heads(_mm(hn, a["to_k"]), H)
+        v = _heads(_mm(hn, a["to_v"]), H)
         q = _rms(q, a["norm_q"]["weight"])
         k = _rms(k, a["norm_k"]["weight"])
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         attn = _unheads(_attention(q, k, v))
-        mlp = _gelu_tanh(hn @ p["proj_mlp"]["weight"] + p["proj_mlp"]["bias"])
+        mlp = _gelu_tanh(_mm(hn, p["proj_mlp"]))
         fused = jnp.concatenate([attn, mlp], axis=-1)
-        return h + gate * (fused @ p["proj_out"]["weight"]
-                           + p["proj_out"]["bias"]), None
+        return h + gate * _mm(fused, p["proj_out"]), None
 
     h_all, _ = jax.lax.scan(single_block, h_all,
                             params["single_transformer_blocks"])
     x = h_all[:, s_txt:]
 
     # AdaLayerNormContinuous head: chunk order (scale, shift)
-    no = params["norm_out"]
-    cond = temb_act @ no["linear"]["weight"] + no["linear"]["bias"]
+    cond = _mm(temb_act, params["norm_out"]["linear"])
     scale, shift = jnp.split(cond, 2, axis=-1)
     x = _ln(x) * (1 + scale[:, None]) + shift[:, None]
-    return x @ params["proj_out"]["weight"] + params["proj_out"]["bias"]
+    return _mm(x, params["proj_out"])
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,8 @@ from uce_tpu.models.flux import (
     rope_freqs,
 )
 from uce_tpu.models.hf_loader import stack_layers, to_numpy_state_dict
-from uce_tpu.models.layers import timestep_embedding
+from uce_tpu.models.layers import mm, timestep_embedding
+from uce_tpu.ops import quant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,8 +114,22 @@ def _rms_full(x, scale, eps=1e-5):
 
 
 def _swiglu(p, x):
-    return (jax.nn.silu(x @ p["w1"]["weight"]) * (x @ p["w3"]["weight"])
-            ) @ p["w2"]["weight"]
+    # mm dispatches weight-only-int8 dicts (models/quantize.py mode="w8")
+    return mm(jax.nn.silu(mm(x, p["w1"])) * mm(x, p["w3"]), p["w2"])
+
+
+def _expert_mm(x, p, eq):
+    """Routed-expert einsum with weight-only-int8 dispatch.
+
+    Expert weights are [E, in, out] per layer (stacked [L, E, in, out]);
+    quantize_params gives them per-(layer, expert, out-channel) scales,
+    applied on the einsum output where they commute exactly.
+    """
+    w = p["weight"]
+    if quant.is_weight_only(w):
+        y = jnp.einsum(eq, x, w[quant.WKEY].astype(x.dtype))
+        return y * jnp.squeeze(w["scale"], 1).astype(y.dtype)  # [E, out]
+    return jnp.einsum(eq, x, w)
 
 
 def _moe(p, x, num_activated: int):
@@ -128,9 +143,9 @@ def _moe(p, x, num_activated: int):
     gate_w = (jax.nn.one_hot(topi, n_exp, dtype=scores.dtype)
               * topv[..., None]).sum(axis=-2)  # [B,S,E]
     e = p["experts"]
-    h = jax.nn.silu(jnp.einsum("bsd,edh->bseh", x, e["w1"]["weight"])
-                    ) * jnp.einsum("bsd,edh->bseh", x, e["w3"]["weight"])
-    routed = jnp.einsum("bseh,ehd->bsed", h, e["w2"]["weight"])
+    h = jax.nn.silu(_expert_mm(x, e["w1"], "bsd,edh->bseh")
+                    ) * _expert_mm(x, e["w3"], "bsd,edh->bseh")
+    routed = _expert_mm(h, e["w2"], "bseh,ehd->bsed")
     y = (routed * gate_w.astype(x.dtype)[..., None]).sum(axis=-2)
     return y + _swiglu(p["shared"], x)
 
@@ -142,16 +157,15 @@ def _ff_i(p, x, cfg):
 
 
 def _mlp_embed(p, v):
-    h = v @ p["linear_1"]["weight"] + p["linear_1"]["bias"]
-    return jax.nn.silu(h) @ p["linear_2"]["weight"] + p["linear_2"]["bias"]
+    return mm(jax.nn.silu(mm(v, p["linear_1"])), p["linear_2"])
 
 
 def _qkv(a, x, heads, suffix=""):
-    q = _rms_full(x @ a[f"to_q{suffix}"]["weight"] + a[f"to_q{suffix}"]["bias"],
+    q = _rms_full(mm(x, a[f"to_q{suffix}"]),
                   a[f"q_rms_norm{suffix}"]["weight"])
-    k = _rms_full(x @ a[f"to_k{suffix}"]["weight"] + a[f"to_k{suffix}"]["bias"],
+    k = _rms_full(mm(x, a[f"to_k{suffix}"]),
                   a[f"k_rms_norm{suffix}"]["weight"])
-    v = x @ a[f"to_v{suffix}"]["weight"] + a[f"to_v{suffix}"]["bias"]
+    v = mm(x, a[f"to_v{suffix}"])
     return _heads(q, heads), _heads(k, heads), _heads(v, heads)
 
 
@@ -177,8 +191,7 @@ def apply(params: dict, x_packed: jnp.ndarray, t5_embeds: jnp.ndarray,
     H = cfg.num_attention_heads
     dtype = x_packed.dtype
 
-    xe = params["x_embedder"]["proj"]
-    x = x_packed @ xe["weight"] + xe["bias"]
+    x = mm(x_packed, params["x_embedder"]["proj"])
 
     t_proj = timestep_embedding(timesteps.astype(jnp.float32), 256
                                 ).astype(dtype)
@@ -205,7 +218,7 @@ def apply(params: dict, x_packed: jnp.ndarray, t5_embeds: jnp.ndarray,
     s_carry = s_t5 + s_ll
 
     def ada(p, n):
-        out = jax.nn.silu(temb) @ p["1"]["weight"] + p["1"]["bias"]
+        out = mm(jax.nn.silu(temb), p["1"])
         return [c[:, None] for c in jnp.split(out, n, axis=-1)]
 
     # ---------------- double-stream blocks -------------------------------
@@ -228,9 +241,8 @@ def apply(params: dict, x_packed: jnp.ndarray, t5_embeds: jnp.ndarray,
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         out = _unheads(_attention(q, k, v))
         out_i, out_t = out[:, :s_img], out[:, s_img:]
-        x = x + g_mi * (out_i @ a["to_out"]["weight"] + a["to_out"]["bias"])
-        txt = txt + g_mt * (out_t @ a["to_out_t"]["weight"]
-                            + a["to_out_t"]["bias"])
+        x = x + g_mi * mm(out_i, a["to_out"])
+        txt = txt + g_mt * mm(out_t, a["to_out_t"])
 
         ni = _ln(x) * (1 + sc_fi) + sh_fi
         nt = _ln(txt) * (1 + sc_ft) + sh_ft
@@ -255,7 +267,7 @@ def apply(params: dict, x_packed: jnp.ndarray, t5_embeds: jnp.ndarray,
         q, k, v = _qkv(a, hn, H)
         q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
         out = _unheads(_attention(q, k, v))
-        hc = hc + g_m * (out @ a["to_out"]["weight"] + a["to_out"]["bias"])
+        hc = hc + g_m * mm(out, a["to_out"])
         hn = _ln(hc) * (1 + sc_f) + sh_f
         hc = hc + g_f * _ff_i(p["ff_i"], hn, cfg)
         return hc[:, :s_all], None
@@ -267,11 +279,10 @@ def apply(params: dict, x_packed: jnp.ndarray, t5_embeds: jnp.ndarray,
 
     # output head: AdaLN (shift, scale) + linear to patch pixels
     fl = params["final_layer"]
-    cond = jax.nn.silu(temb) @ fl["adaLN_modulation"]["1"]["weight"] \
-        + fl["adaLN_modulation"]["1"]["bias"]
+    cond = mm(jax.nn.silu(temb), fl["adaLN_modulation"]["1"])
     shift, scale = jnp.split(cond, 2, axis=-1)
     x = _ln(x) * (1 + scale[:, None]) + shift[:, None]
-    return x @ fl["linear"]["weight"] + fl["linear"]["bias"]
+    return mm(x, fl["linear"])
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,8 @@ from uce_tpu.utils.ablate import ablated  # noqa: F401  (re-export)
 def conv2d(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None,
            stride: int = 1, padding: int | str = 1) -> jnp.ndarray:
     """NHWC conv. kernel HWIO, or a quantized-int8 dict (ops/quant.py)."""
+    if quant.is_weight_only(kernel):
+        return quant.wconv2d(x, kernel, bias, stride, padding)
     if quant.is_quantized(kernel):
         if not isinstance(padding, int):
             raise ValueError("quantized conv supports integer padding only")
@@ -40,12 +42,22 @@ def conv2d(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None,
 
 
 def linear(x: jnp.ndarray, w, b: jnp.ndarray | None = None):
+    if quant.is_weight_only(w):
+        return quant.wlinear(x, w, b)
     if quant.is_quantized(w):
         return quant.qlinear(x, w, b)
     y = x @ w
     if b is not None:
         y = y + b
     return y
+
+
+def mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """``x @ p["weight"] (+ p["bias"])`` for param dicts whose weight may
+    be raw [in, out] or a weight-only-int8 dict (ops/quant.py) — the
+    projection form used by the DiT models (FLUX, HiDream), whose params
+    are depth-stacked and sliced inside ``lax.scan``."""
+    return linear(x, p["weight"], p.get("bias"))
 
 
 def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

@@ -27,15 +27,73 @@ from uce_tpu.ops import quant
 
 UNET_SKIP = ("conv_in", "conv_out", "time_emb", "add_embedding", "norm")
 VAE_SKIP = ("conv_in", "conv_out", "norm", "quant_conv")
+# FLUX DiT weight-only skips: the tiny entry/exit/conditioning projections
+# (x_embedder, final proj_out + its adaLN, time/text MLPs), and the
+# context_embedder — a UCE edit target (uce_flux_edit.py:25-28), kept
+# float so edit overlays apply exactly (time_text_embed covers the other
+# target, text_embedder.linear_1). AdaLN modulation linears ARE
+# quantized: they are ~27% of the 12 B params, and per-output-channel
+# weight-only error (~0.4% relative) is below bf16 activation noise.
+# A tuple entry is a root-anchored path prefix (distinguishes the final
+# ("proj_out",) from the single-block proj_out projections).
+FLUX_SKIP = ("x_embedder", "context_embedder", "time_text_embed",
+             "norm_out", ("proj_out",))
+# HiDream-I1 MoE DiT skips: entry/exit/conditioning, the MoE router gate
+# (tiny, routing-critical), and caption_projection — the UCE edit
+# targets (uce_hidream_edit.py:32-35), kept float for exact overlays.
+HIDREAM_SKIP = ("x_embedder", "t_embedder", "p_embedder",
+                "caption_projection", "final_layer", "gate")
+# Leaves under these keys are depth-STACKED [L, ...]; quantize with
+# per-layer scales so one outlier layer cannot coarsen every other
+# layer's scale.
+STACKED_KEYS = ("transformer_blocks", "single_transformer_blocks",
+                "double_stream_blocks", "single_stream_blocks")
 
 
-def quantize_params(params, skip: Iterable[str] = UNET_SKIP):
-    """Return a copy of ``params`` with eligible weights int8-quantized."""
+def _skipped(path, skip) -> bool:
+    for tok in skip:
+        if isinstance(tok, tuple):
+            if path[: len(tok)] == tok:
+                return True
+        elif any(tok in p for p in path):
+            return True
+    return False
+
+
+def quantize_params(params, skip: Iterable = UNET_SKIP,
+                    mode: str = "int8"):
+    """Return a copy of ``params`` with eligible weights int8-quantized.
+
+    mode: ``"int8"`` = W8A8 (int8 MXU ops); ``"w8"`` = weight-only int8
+    (bf16 arithmetic, int8 storage — the memory-capacity mode).
+    skip: substrings matched against any path component, or tuples
+    matched as root-anchored path prefixes.
+    """
+    if mode not in ("int8", "w8"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
     skip = tuple(skip)
+    weight_only = mode == "w8"
+
+    def quantize(leaf, path):
+        if any(k in STACKED_KEYS for k in path):
+            # depth-stacked [L, ...] leaves: per-layer scales (and
+            # per-expert for MoE [L, E, in, out] leaves); a stacked leaf
+            # below 3-D is a per-layer 1-D scale (RMSNorm), not a matmul
+            # weight — leave it float
+            if leaf.ndim < 3:
+                return leaf
+            import jax
+
+            fn = lambda w: quant.quantize_weight(w,  # noqa: E731
+                                                 weight_only=weight_only)
+            for _ in range(leaf.ndim - 2):
+                fn = jax.vmap(fn)
+            return fn(leaf)
+        return quant.quantize_weight(leaf, weight_only=weight_only)
 
     def walk(node, path):
         if isinstance(node, dict):
-            if quant.is_quantized(node):
+            if quant.is_quantized(node) or quant.is_weight_only(node):
                 return node
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if (
@@ -43,10 +101,10 @@ def quantize_params(params, skip: Iterable[str] = UNET_SKIP):
             and path[-1] == "weight"
             and hasattr(node, "ndim")
             and node.ndim >= 2
-            and not any(tok in p for tok in skip for p in path)
+            and not _skipped(path, skip)
             and jnp.issubdtype(node.dtype, jnp.floating)
         ):
-            return quant.quantize_weight(node)
+            return quantize(node, path)
         return node
 
     return walk(params, ())
@@ -58,7 +116,7 @@ def count_quantized(params) -> tuple[int, int]:
 
     def walk(node, path):
         nonlocal nq, nw
-        if quant.is_quantized(node):
+        if quant.is_quantized(node) or quant.is_weight_only(node):
             nq += 1
             nw += 1
             return

@@ -459,12 +459,22 @@ def overlay_edits(params: dict, edits: Mapping[str, np.ndarray]) -> dict:
             v = linear_weight(v)
         elif leaf == "weight" and v.ndim == 4:
             v = conv_kernel(v)
-        if v.shape != old.shape:
-            raise ValueError(
-                f"edit for '{key}' has shape {v.shape}, model expects "
-                f"{old.shape}"
-            )
-        node[leaf] = jnp.asarray(v, dtype=old.dtype)
+        if isinstance(old, dict):
+            # quantized slot (ops/quant.py dict): the float edit replaces
+            # it outright — the layer dispatch handles mixed trees
+            payload = old.get("qint8", old.get("w8int"))
+            if v.shape != payload.shape:
+                raise ValueError(
+                    f"edit for '{key}' has shape {v.shape}, model expects "
+                    f"{payload.shape}")
+            node[leaf] = jnp.asarray(v, dtype=jnp.bfloat16)
+        else:
+            if v.shape != old.shape:
+                raise ValueError(
+                    f"edit for '{key}' has shape {v.shape}, model expects "
+                    f"{old.shape}"
+                )
+            node[leaf] = jnp.asarray(v, dtype=old.dtype)
     if skipped:
         print(f"overlay_edits: skipped {len(skipped)} unknown keys "
               f"(e.g. {skipped[0]})")

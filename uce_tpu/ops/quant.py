@@ -16,6 +16,16 @@ Quantized tensors are plain dicts ``{"qint8": int8 vals, "scale": f32}``
 so they ride the param pytree through jit without custom pytree nodes.
 ``uce_tpu/models/quantize.py`` decides which layers get quantized.
 
+A second, weight-only mode (``{"w8int": int8, "scale": f32}``) keeps the
+arithmetic in bf16: the int8 weight is cast to the activation dtype inside
+the matmul/conv (XLA fuses the convert into the operand read) and the
+per-output-channel scale is applied to the output, which is exact because
+it commutes with the contraction.  This mode exists for MEMORY, not MXU
+rate — it halves weight HBM residency and bandwidth, which is what lets
+the full 12 B-param FLUX DiT serve on a single 16 GB v5e chip
+(``bench.py --flux_w8``), while sidestepping this toolchain's int8-op
+compile cliffs (docs/PERF.md "int8 measured reality").
+
 The reference has no quantization story (fp32/bf16 torch throughout,
 ``trainscripts/uce_sd_erase.py:117``); this is an opt-in deployment
 feature — the edit algebra and default pipelines stay bf16/fp32.
@@ -27,33 +37,46 @@ import jax
 import jax.numpy as jnp
 
 QKEY = "qint8"
+WKEY = "w8int"
 
 
 def is_quantized(w) -> bool:
+    """True for W8A8 dicts (int8 x int8 MXU path)."""
     return isinstance(w, dict) and QKEY in w
+
+
+def is_weight_only(w) -> bool:
+    """True for weight-only int8 dicts (bf16 arithmetic, int8 storage)."""
+    return isinstance(w, dict) and WKEY in w
 
 
 def concat_weights(ws):
     """Concatenate weights along the output (last) axis for fused
-    projections (e.g. QKV).  Handles all-raw and all-quantized inputs
-    (per-output-channel scales concatenate losslessly); returns ``None``
-    for mixed inputs so the caller can fall back to separate matmuls."""
-    quantized = [is_quantized(w) for w in ws]
-    if not any(quantized):
-        return jnp.concatenate(ws, axis=-1)
-    if all(quantized):
-        return {
-            QKEY: jnp.concatenate([w[QKEY] for w in ws], axis=-1),
-            "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1),
-        }
-    return None
+    projections (e.g. QKV).  Handles all-raw, all-W8A8, and all-weight-only
+    inputs (per-output-channel scales concatenate losslessly); returns
+    ``None`` for mixed inputs so the caller can fall back to separate
+    matmuls."""
+    for key in (QKEY, WKEY):
+        flags = [isinstance(w, dict) and key in w for w in ws]
+        if all(flags):
+            return {
+                key: jnp.concatenate([w[key] for w in ws], axis=-1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1),
+            }
+        if any(flags):
+            return None
+    return jnp.concatenate(ws, axis=-1)
 
 
-def quantize_weight(w: jnp.ndarray, out_axis: int = -1) -> dict:
+def quantize_weight(w: jnp.ndarray, out_axis: int = -1,
+                    weight_only: bool = False) -> dict:
     """Symmetric per-output-channel int8 quantization.
 
     w: float weight; ``out_axis`` is the output-channel axis (last for
     both [in, out] linear weights and HWIO conv kernels).
+    ``weight_only=True`` produces a ``{"w8int", "scale"}`` dict consumed
+    by the bf16-arithmetic ``wlinear``/``wconv2d`` path instead of the
+    int8-MXU ``qlinear``/``qconv2d`` path.
     """
     w = jnp.asarray(w, jnp.float32)
     axes = tuple(i for i in range(w.ndim) if i != w.ndim + out_axis
@@ -61,7 +84,8 @@ def quantize_weight(w: jnp.ndarray, out_axis: int = -1) -> dict:
     amax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return {QKEY: q, "scale": scale.astype(jnp.float32)}
+    return {WKEY if weight_only else QKEY: q,
+            "scale": scale.astype(jnp.float32)}
 
 
 def _quant_act(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -141,3 +165,45 @@ def qconv2d(x: jnp.ndarray, qk: dict, b: jnp.ndarray | None = None,
     if b is not None:
         yf = yf + b.astype(jnp.float32)
     return yf.astype(x.dtype)
+
+
+def wlinear(x: jnp.ndarray, qw: dict, b: jnp.ndarray | None = None):
+    """x [..., in] @ weight-only-int8 [in, out], bf16 arithmetic.
+
+    The int8 weight is cast to the activation dtype inside the dot (one
+    fused convert on the operand read — half the weight HBM bytes of a
+    bf16 weight) and the per-output-channel scale is applied to the
+    output, where it commutes exactly with the contraction.
+    """
+    w = qw[WKEY]
+    y = jax.lax.dot_general(
+        x, w.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+    )
+    scale = qw["scale"].reshape((1,) * (y.ndim - 1) + (-1,))
+    y = y * scale.astype(y.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def wconv2d(x: jnp.ndarray, qk: dict, b: jnp.ndarray | None = None,
+            stride: int = 1, padding=1):
+    """NHWC conv with weight-only-int8 HWIO kernel, bf16 arithmetic.
+
+    Same output-side per-channel rescale as ``wlinear`` (exact: the scale
+    commutes with the spatial+channel contraction).
+    """
+    k = qk[WKEY]
+    pad = ([(padding, padding), (padding, padding)]
+           if isinstance(padding, int) else padding)
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y * qk["scale"].reshape(1, 1, 1, -1).astype(y.dtype)
+    if b is not None:
+        y = y + b
+    return y
