@@ -346,3 +346,58 @@ def make_hidream_snapshot(root, seed=0):
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "shift": 3.0}, f)
     return root
+
+
+def make_flux_snapshot(root, seed=0):
+    """Full tiny FLUX HF-format snapshot: joint-transformer DiT + CLIP-L
+    (text_encoder, pooled) + T5 (text_encoder_2) + 16ch-style VAE +
+    FlowMatch scheduler — the directory layout FluxPipeline.from_pretrained
+    expects (mirrors black-forest-labs/FLUX.1-schnell)."""
+    from uce_tpu.models import flux as flux_mod, vae as vae_mod
+
+    root = str(root)
+    rng = np.random.default_rng(seed)
+    d_t5 = 16
+
+    vocab = _write_tokenizer(root, "tokenizer")
+    _write_tokenizer(root, "tokenizer_2")
+    _write_clip_encoder(root, "text_encoder", vocab, hidden=24, rng=rng,
+                        projection_dim=24)
+    _write_t5_encoder(root, "text_encoder_2", len(vocab), d_t5, rng)
+
+    tr_cfg_hf = {
+        "_class_name": "FluxTransformer2DModel",
+        "in_channels": 16, "num_layers": 1, "num_single_layers": 1,
+        "attention_head_dim": 8, "num_attention_heads": 4,
+        "joint_attention_dim": d_t5, "pooled_projection_dim": 24,
+        "guidance_embeds": False, "axes_dims_rope": [4, 2, 2],
+    }
+    tr_dir = os.path.join(root, "transformer")
+    os.makedirs(tr_dir, exist_ok=True)
+    with open(os.path.join(tr_dir, "config.json"), "w") as f:
+        json.dump(tr_cfg_hf, f)
+    tcfg = flux_mod.FluxConfig.from_hf(tr_cfg_hf)
+    save_file(flux_mod.init_state_dict(tcfg, rng, scale=0.3),
+              os.path.join(tr_dir, "diffusion_pytorch_model.safetensors"))
+
+    vae_cfg_hf = {
+        "_class_name": "AutoencoderKL",
+        "in_channels": 3, "out_channels": 3, "latent_channels": 4,
+        "block_out_channels": [8, 16], "layers_per_block": 1,
+        "norm_num_groups": 4, "scaling_factor": 0.3611,
+        "shift_factor": 0.1159,
+    }
+    vae_dir = os.path.join(root, "vae")
+    os.makedirs(vae_dir, exist_ok=True)
+    with open(os.path.join(vae_dir, "config.json"), "w") as f:
+        json.dump(vae_cfg_hf, f)
+    save_file(vae_mod.init_state_dict(vae_mod.VAEConfig.from_hf(vae_cfg_hf),
+                                      rng),
+              os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
+
+    sch_dir = os.path.join(root, "scheduler")
+    os.makedirs(sch_dir, exist_ok=True)
+    with open(os.path.join(sch_dir, "scheduler_config.json"), "w") as f:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "shift": 1.0}, f)
+    return root

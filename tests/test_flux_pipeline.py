@@ -109,3 +109,72 @@ def test_flux_list_seed_distinct_samples(tiny_flux_pipe):
                           num_images_per_prompt=2, height=32, width=32)
     assert imgs.shape[0] == 2
     assert (imgs[0] != imgs[1]).any(), "samples of one prompt are identical"
+
+
+# ---------------------------------------------------------------------------
+# disk-snapshot loading: eager vs staged (encode -> free encoders -> DiT)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def flux_snapshot(tmp_path_factory):
+    from tests.snapshot import make_flux_snapshot
+
+    return make_flux_snapshot(tmp_path_factory.mktemp("flux_snap"))
+
+
+def test_from_pretrained_generates(flux_snapshot):
+    pipe = pf.FluxPipeline.from_pretrained(flux_snapshot,
+                                           max_sequence_length=16)
+    imgs = pipe("a cat", num_inference_steps=2, seed=4, height=16, width=16)
+    assert imgs.shape == (1, 16, 16, 3) and imgs.dtype == np.uint8
+
+
+def test_staged_matches_eager(flux_snapshot):
+    """Staged (encode -> free_encoders -> lazy DiT load) must produce the
+    SAME images as the eager path — the reference's three-phase memory
+    staging (uce_flux_edit.py:15-41) without behavior change."""
+    eager = pf.FluxPipeline.from_pretrained(flux_snapshot,
+                                            max_sequence_length=16)
+    ref = eager("a cat", num_inference_steps=2, seed=4, height=16, width=16)
+
+    pipe = pf.FluxPipeline.from_pretrained(flux_snapshot, staged=True,
+                                           max_sequence_length=16)
+    assert pipe.transformer_params is None  # DiT deferred
+    t5, pooled = pipe.encode_prompts(["a cat"])
+    pipe.free_encoders()
+    with pytest.raises(RuntimeError, match="freed"):
+        pipe.encode_prompts(["a dog"])
+    got = pipe.generate_from_embeddings(t5, pooled, num_inference_steps=2,
+                                        seed=4, height=16, width=16)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_staged_defers_edits_and_quantize(flux_snapshot, tmp_path):
+    """Edits + quantization requested before the staged DiT exists must
+    apply at load; edit targets stay float (quantize.FLUX_SKIP)."""
+    from safetensors.numpy import save_file as st_save
+
+    from uce_tpu.ops import quant
+
+    pipe = pf.FluxPipeline.from_pretrained(flux_snapshot, staged=True,
+                                           quantize="w8",
+                                           max_sequence_length=16)
+    d = pipe.transformer_config.joint_attention_dim
+    D = pipe.transformer_config.inner_dim
+    edit = {"context_embedder.weight":
+            np.full((D, d), 0.123, np.float32)}
+    st_save(edit, str(tmp_path / "edit.safetensors"))
+    pipe.load_uce_edits(str(tmp_path / "edit.safetensors"))
+    assert pipe.pending_edits  # deferred
+
+    t5, pooled = pipe.encode_prompts(["a cat"])
+    pipe.free_encoders()
+    pipe.generate_from_embeddings(t5, pooled, num_inference_steps=1,
+                                  seed=0, height=16, width=16)
+    tp = pipe.transformer_params
+    assert not pipe.pending_edits
+    np.testing.assert_allclose(
+        np.asarray(tp["context_embedder"]["weight"], np.float32), 0.123,
+        rtol=1e-2)
+    assert quant.is_weight_only(
+        tp["transformer_blocks"]["attn"]["to_q"]["weight"])

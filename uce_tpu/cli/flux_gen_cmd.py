@@ -25,6 +25,11 @@ def register_cli(sub) -> None:
                    choices=["w8", "int8"],
                    help="quantize the DiT: w8 = weight-only int8 (half "
                         "weight HBM; fits the 12B DiT on a 16 GB chip)")
+    p.add_argument("--staged", action="store_true",
+                   help="memory-staged: encode ALL prompts first, free "
+                        "the T5/CLIP encoders, then load the DiT into "
+                        "the vacated HBM (reference uce_flux_edit.py "
+                        "three-phase load, adapted for one 16 GB chip)")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
@@ -40,11 +45,10 @@ def _cmd(args) -> int:
     from uce_tpu.utils.imaging import save_case_images
 
     pipe = FluxPipeline.from_pretrained(
-        args.model_name, max_sequence_length=args.max_sequence_length)
+        args.model_name, max_sequence_length=args.max_sequence_length,
+        staged=args.staged, quantize=args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
-    if args.quantize:
-        pipe.quantize_weights(args.quantize)
 
     folder = os.path.join(
         args.save_path,
@@ -53,17 +57,36 @@ def _cmd(args) -> int:
     os.makedirs(folder, exist_ok=True)
 
     df = pd.read_csv(args.prompts_path)
+    rows = [row for _, row in df.iterrows()
+            if args.from_case <= row.case_number <= args.till_case]
+
+    embeds = None
+    if args.staged:
+        # phase 1: encode every case's prompts, then free the encoders so
+        # the DiT loads into the vacated HBM (phase 2, on first generate)
+        embeds = [pipe.encode_prompts([str(row.prompt)] * args.num_samples)
+                  for row in rows]
+        pipe.free_encoders()
+
     n = 0
-    for _, row in df.iterrows():
-        if not (args.from_case <= row.case_number <= args.till_case):
-            continue
-        images = pipe(
-            str(row.prompt),
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.guidance_scale,
-            num_images_per_prompt=args.num_samples,
-            seed=int(row.evaluation_seed),
-            height=args.image_size, width=args.image_size)
+    for i, row in enumerate(rows):
+        if args.staged:
+            t5_embeds, pooled = embeds[i]
+            images = pipe.generate_from_embeddings(
+                t5_embeds, pooled, n_prompts=1,
+                num_images_per_prompt=args.num_samples,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                seed=int(row.evaluation_seed),
+                height=args.image_size, width=args.image_size)
+        else:
+            images = pipe(
+                str(row.prompt),
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                num_images_per_prompt=args.num_samples,
+                seed=int(row.evaluation_seed),
+                height=args.image_size, width=args.image_size)
         save_case_images(images, folder, row.case_number)
         n += 1
     print(f"generated {n} cases")

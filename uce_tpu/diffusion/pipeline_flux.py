@@ -59,14 +59,38 @@ def compute_shift_mu(seq_len: int, base_seq=256, max_seq=4096,
     return seq_len * m + (base_shift - m * base_seq)
 
 
+def _load_flux_transformer(model_dir: str, dtype, quantize: str | None):
+    """Load (and optionally quantize) the DiT param tree HOST-side.
+
+    Conversion and quantization run pinned to the CPU backend so a
+    full-size (12 B-param) fp32 state dict never lands on the
+    accelerator — only the final (possibly int8) tree transfers, at the
+    first jitted call. Mirrors the reference's memory-staged load
+    (uce_flux_edit.py:15-41), TPU-adapted.
+    """
+    tcfg = flux_mod.FluxConfig.from_hf(
+        load_json(os.path.join(model_dir, "transformer", "config.json")))
+    with jax.default_device(jax.devices("cpu")[0]):
+        tparams = flux_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "transformer", dtype=np.float32),
+            tcfg)
+        tparams = unet_mod.cast_params(tparams, dtype)
+        if quantize:
+            from uce_tpu.models import quantize as quantize_mod
+
+            tparams = quantize_mod.quantize_params(
+                tparams, quantize_mod.FLUX_SKIP, mode=quantize)
+    return tparams, tcfg
+
+
 @dataclasses.dataclass
 class FluxPipeline:
-    transformer_params: dict
+    transformer_params: dict | None
     transformer_config: flux_mod.FluxConfig
-    t5_params: dict
+    t5_params: dict | None
     t5_config: t5_mod.T5Config
     t5_tokenizer: object
-    clip_params: dict
+    clip_params: dict | None
     clip_config: clip_text.CLIPTextConfig
     clip_tokenizer: object
     vae_params: dict
@@ -74,18 +98,34 @@ class FluxPipeline:
     scheduler_config: dict
     dtype: object = jnp.bfloat16
     max_sequence_length: int = 256
+    # staged loading (from_pretrained(staged=True)): deferred DiT source
+    model_dir: str | None = None
+    pending_quantize: str | None = None
+    pending_edits: list = dataclasses.field(default_factory=list)
 
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
-                        max_sequence_length: int | None = None
-                        ) -> "FluxPipeline":
+                        max_sequence_length: int | None = None,
+                        staged: bool = False,
+                        quantize: str | None = None) -> "FluxPipeline":
+        """Load a FLUX snapshot directory.
+
+        staged=True defers the DiT load until the first generation call —
+        encode prompts first, call ``free_encoders()``, and the DiT
+        (optionally ``quantize``d host-side) loads into the space the
+        encoders vacated: the reference's three-phase memory staging
+        (uce_flux_edit.py:15-41, SURVEY §3.3) for a 16 GB chip.
+        """
         from transformers import AutoTokenizer
 
-        tcfg = flux_mod.FluxConfig.from_hf(
-            load_json(os.path.join(model_dir, "transformer", "config.json")))
-        tparams = flux_mod.convert_hf_state_dict(
-            load_state_dict(model_dir, "transformer", dtype=np.float32), tcfg)
-        tparams = unet_mod.cast_params(tparams, dtype)
+        if staged:
+            tcfg = flux_mod.FluxConfig.from_hf(
+                load_json(os.path.join(model_dir, "transformer",
+                                       "config.json")))
+            tparams = None
+        else:
+            tparams, tcfg = _load_flux_transformer(model_dir, dtype,
+                                                   quantize)
 
         t5cfg = t5_mod.T5Config.from_hf(
             load_json(os.path.join(model_dir, "text_encoder_2",
@@ -120,7 +160,27 @@ class FluxPipeline:
                 os.path.join(model_dir, "tokenizer")),
             vae_params=vparams, vae_config=vcfg, scheduler_config=scfg,
             dtype=dtype, max_sequence_length=max_sequence_length,
+            model_dir=model_dir, pending_quantize=quantize,
         )
+
+    def free_encoders(self) -> None:
+        """Drop the T5/CLIP encoder params (frees their device memory once
+        no embeddings reference them). After this, only
+        ``generate_from_embeddings`` works — encode first."""
+        self.t5_params = None
+        self.clip_params = None
+
+    def _ensure_transformer(self) -> None:
+        if self.transformer_params is None:
+            if self.model_dir is None:
+                raise RuntimeError(
+                    "staged pipeline has no model_dir to load the DiT from")
+            self.transformer_params, self.transformer_config = \
+                _load_flux_transformer(self.model_dir, self.dtype,
+                                       self.pending_quantize)
+            for path in self.pending_edits:
+                self.load_uce_edits(path)
+            self.pending_edits = []
 
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize the DiT weights in place (models/quantize.py).
@@ -137,6 +197,9 @@ class FluxPipeline:
         """
         from uce_tpu.models import quantize as quantize_mod
 
+        if self.transformer_params is None:  # staged: quantize at load
+            self.pending_quantize = mode
+            return
         self.transformer_params = quantize_mod.quantize_params(
             self.transformer_params, quantize_mod.FLUX_SKIP, mode=mode)
         # (the jitted generate fns take params as arguments, so the new
@@ -145,6 +208,9 @@ class FluxPipeline:
     def load_uce_edits(self, safetensors_path: str) -> None:
         """Overlay UCE-edited text-entry projections (uce_flux_edit.py
         artifacts: context_embedder / text_embedder.linear_1)."""
+        if self.transformer_params is None:  # staged: apply at DiT load
+            self.pending_edits.append(safetensors_path)
+            return
         from safetensors.numpy import load_file
 
         from uce_tpu.models.layers import linear_weight
@@ -170,6 +236,10 @@ class FluxPipeline:
             node[leaf] = w.astype(self.dtype)
 
     def encode_prompts(self, prompts: Sequence[str]):
+        if self.t5_params is None or self.clip_params is None:
+            raise RuntimeError(
+                "encoders were freed (free_encoders); encode prompts "
+                "before freeing, then use generate_from_embeddings")
         ids, mask = emb.tokenize_batch(self.t5_tokenizer, list(prompts),
                                        self.max_sequence_length)
         # diffusers FluxPipeline._get_t5_prompt_embeds passes no attention
@@ -197,8 +267,34 @@ class FluxPipeline:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         n_prompts = len(prompts)
         prompts = [p for p in prompts for _ in range(num_images_per_prompt)]
-        bsz = len(prompts)
         t5_embeds, pooled = self.encode_prompts(prompts)
+        return self.generate_from_embeddings(
+            t5_embeds, pooled, n_prompts=n_prompts,
+            num_images_per_prompt=num_images_per_prompt,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed,
+            height=height, width=width)
+
+    def generate_from_embeddings(
+        self,
+        t5_embeds: jnp.ndarray,
+        pooled: jnp.ndarray,
+        n_prompts: int | None = None,
+        num_images_per_prompt: int = 1,
+        num_inference_steps: int = 4,
+        guidance_scale: float = 0.0,
+        seed: int = 0,
+        height: int = 1024,
+        width: int = 1024,
+    ) -> np.ndarray:
+        """Generate from precomputed (t5_embeds [B, S, d], pooled [B, d'])
+        — the staged-serving path: encode first, ``free_encoders()``, and
+        the (optionally quantized) DiT loads on first use into the freed
+        HBM. ``t5_embeds`` rows must already be expanded per sample."""
+        self._ensure_transformer()
+        if n_prompts is None:
+            n_prompts = t5_embeds.shape[0] // num_images_per_prompt
+        bsz = t5_embeds.shape[0]
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
