@@ -189,3 +189,57 @@ def test_config_from_hf_null_out_channels():
     cfg = hd_mod.HiDreamConfig.from_hf({"in_channels": 16,
                                         "out_channels": None})
     assert cfg.out_channels == 16
+
+
+def test_staged_matches_eager(tmp_path_factory):
+    """from_pretrained(staged=True): encode -> free_encoders -> lazy MoE
+    DiT load must reproduce the eager path exactly (reference three-phase
+    staging, uce_hidream_edit.py:16-28/51-64/97-108)."""
+    from tests.snapshot import make_hidream_snapshot
+    from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
+
+    root = make_hidream_snapshot(tmp_path_factory.mktemp("hd_snap"))
+    kw = dict(num_inference_steps=2, guidance_scale=2.0, seed=3,
+              height=16, width=16)
+    eager = HiDreamPipeline.from_pretrained(root, max_sequence_length=16)
+    ref = eager("a cat", **kw)
+
+    pipe = HiDreamPipeline.from_pretrained(root, max_sequence_length=16,
+                                           staged=True)
+    assert pipe.transformer_params is None
+    t5_c, ll_c, p_c = pipe.encode_prompts(["a cat"])
+    t5_u, ll_u, p_u = pipe.encode_prompts([""])
+    pipe.free_encoders()
+    with pytest.raises(RuntimeError, match="freed"):
+        pipe.encode_prompts(["a dog"])
+    got = pipe.generate_from_embeddings(
+        jnp.concatenate([t5_u, t5_c], axis=0),
+        jnp.concatenate([ll_u, ll_c], axis=1),
+        jnp.concatenate([p_u, p_c], axis=0),
+        do_cfg=True, **kw)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_staged_w8_close_to_eager(tmp_path_factory):
+    from tests.snapshot import make_hidream_snapshot
+    from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
+    from uce_tpu.ops import quant
+
+    root = make_hidream_snapshot(tmp_path_factory.mktemp("hd_snap_q"))
+    kw = dict(num_inference_steps=2, guidance_scale=0.0, seed=3,
+              height=16, width=16)
+    eager = HiDreamPipeline.from_pretrained(root, max_sequence_length=16)
+    ref = eager("a cat", **kw)
+
+    pipe = HiDreamPipeline.from_pretrained(root, max_sequence_length=16,
+                                           staged=True, quantize="w8")
+    t5_c, ll_c, p_c = pipe.encode_prompts(["a cat"])
+    pipe.free_encoders()
+    got = pipe.generate_from_embeddings(t5_c, ll_c, p_c, **kw)
+    tp = pipe.transformer_params
+    assert quant.is_weight_only(
+        tp["double_stream_blocks"]["attn1"]["to_q"]["weight"])
+    assert not quant.is_weight_only(
+        tp["caption_projection"]["llama"]["weight"])
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.mean() < 8, diff.mean()

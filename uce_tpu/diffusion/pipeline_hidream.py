@@ -36,9 +36,29 @@ from uce_tpu.models.hf_loader import load_json, load_state_dict
 from uce_tpu.utils import torch_rng
 
 
+def _load_hidream_transformer(model_dir: str, dtype, quantize: str | None):
+    """Load (and optionally quantize) the MoE DiT HOST-side — conversion
+    pinned to the CPU backend so a full-size (17 B-param) fp32 state dict
+    never lands on the accelerator. Mirrors the reference's three-stage
+    load/unload (uce_hidream_edit.py:16-28, 51-64, 97-108)."""
+    tcfg = hd_mod.HiDreamConfig.from_hf(
+        load_json(os.path.join(model_dir, "transformer", "config.json")))
+    with jax.default_device(jax.devices("cpu")[0]):
+        tparams = hd_mod.convert_hf_state_dict(
+            load_state_dict(model_dir, "transformer", dtype=np.float32),
+            tcfg)
+        tparams = unet_mod.cast_params(tparams, dtype)
+        if quantize:
+            from uce_tpu.models import quantize as quantize_mod
+
+            tparams = quantize_mod.quantize_params(
+                tparams, quantize_mod.HIDREAM_SKIP, mode=quantize)
+    return tparams, tcfg
+
+
 @dataclasses.dataclass
 class HiDreamPipeline:
-    transformer_params: dict
+    transformer_params: dict | None
     transformer_config: hd_mod.HiDreamConfig
     clip_params: dict
     clip_config: clip_text.CLIPTextConfig
@@ -57,18 +77,34 @@ class HiDreamPipeline:
     scheduler_config: dict
     dtype: object = jnp.bfloat16
     max_sequence_length: int = 128
+    # staged loading (from_pretrained(staged=True)): deferred DiT source
+    model_dir: str | None = None
+    pending_quantize: str | None = None
+    pending_edits: list = dataclasses.field(default_factory=list)
 
     @classmethod
     def from_pretrained(cls, model_dir: str, llama_dir: str | None = None,
                         dtype=jnp.bfloat16,
-                        max_sequence_length: int = 128) -> "HiDreamPipeline":
+                        max_sequence_length: int = 128,
+                        staged: bool = False,
+                        quantize: str | None = None) -> "HiDreamPipeline":
+        """Load a HiDream snapshot (+ separate Llama dir).
+
+        staged=True defers the 17 B-param MoE DiT until the first
+        generation call — encode prompts, ``free_encoders()``, then the
+        DiT (optionally ``quantize``d host-side) loads into the vacated
+        HBM: the reference's three-phase staging for one chip.
+        """
         from transformers import AutoTokenizer
 
-        tcfg = hd_mod.HiDreamConfig.from_hf(
-            load_json(os.path.join(model_dir, "transformer", "config.json")))
-        tparams = hd_mod.convert_hf_state_dict(
-            load_state_dict(model_dir, "transformer", dtype=np.float32), tcfg)
-        tparams = unet_mod.cast_params(tparams, dtype)
+        if staged:
+            tcfg = hd_mod.HiDreamConfig.from_hf(
+                load_json(os.path.join(model_dir, "transformer",
+                                       "config.json")))
+            tparams = None
+        else:
+            tparams, tcfg = _load_hidream_transformer(model_dir, dtype,
+                                                      quantize)
 
         def clip(sub, tok):
             cfg = clip_text.CLIPTextConfig.from_hf(
@@ -128,7 +164,27 @@ class HiDreamPipeline:
             llama_params=lparams, llama_config=lcfg, llama_tokenizer=ltok,
             vae_params=vparams, vae_config=vcfg, scheduler_config=scfg,
             dtype=dtype, max_sequence_length=max_sequence_length,
+            model_dir=model_dir, pending_quantize=quantize,
         )
+
+    def free_encoders(self) -> None:
+        """Drop all four text encoders' params (CLIP-L/G, T5, Llama) —
+        frees their device memory once no embeddings reference them.
+        After this, only ``generate_from_embeddings`` works."""
+        self.clip_params = self.clip_params_2 = None
+        self.t5_params = self.llama_params = None
+
+    def _ensure_transformer(self) -> None:
+        if self.transformer_params is None:
+            if self.model_dir is None:
+                raise RuntimeError(
+                    "staged pipeline has no model_dir to load the DiT from")
+            self.transformer_params, self.transformer_config = \
+                _load_hidream_transformer(self.model_dir, self.dtype,
+                                          self.pending_quantize)
+            for path in self.pending_edits:
+                self.load_uce_edits(path)
+            self.pending_edits = []
 
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize the MoE DiT weights in place (models/quantize.py).
@@ -141,12 +197,18 @@ class HiDreamPipeline:
         """
         from uce_tpu.models import quantize as quantize_mod
 
+        if self.transformer_params is None:  # staged: quantize at load
+            self.pending_quantize = mode
+            return
         self.transformer_params = quantize_mod.quantize_params(
             self.transformer_params, quantize_mod.HIDREAM_SKIP, mode=mode)
 
     def load_uce_edits(self, safetensors_path: str) -> None:
         """Overlay UCE-edited caption projections (uce_hidream_edit.py
         artifacts: 'caption_projection.<i>.linear.weight' keys)."""
+        if self.transformer_params is None:  # staged: apply at DiT load
+            self.pending_edits.append(safetensors_path)
+            return
         from safetensors.numpy import load_file
 
         import re
@@ -186,6 +248,11 @@ class HiDreamPipeline:
     def encode_prompts(self, prompts: Sequence[str]):
         """Returns (t5 [B,S,D], llama [num_blocks, B, S, D] selected by
         llama_layers, pooled [B, 768+1280])."""
+        if self.clip_params is None or self.t5_params is None \
+                or self.llama_params is None:
+            raise RuntimeError(
+                "encoders were freed (free_encoders); encode prompts "
+                "before freeing, then use generate_from_embeddings")
         pooled_parts = []
         for params, cfg, tok in (
             (self.clip_params, self.clip_config, self.clip_tokenizer),
@@ -250,6 +317,35 @@ class HiDreamPipeline:
             pooled_e = jnp.concatenate([pooled_u, pooled_c], axis=0)
         else:
             t5_e, llama_e, pooled_e = t5_c, llama_c, pooled_c
+        return self.generate_from_embeddings(
+            t5_e, llama_e, pooled_e, do_cfg=do_cfg, n_prompts=n_prompts,
+            num_images_per_prompt=num_images_per_prompt,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed,
+            height=height, width=width)
+
+    def generate_from_embeddings(
+        self,
+        t5_e: jnp.ndarray,
+        llama_e: jnp.ndarray,
+        pooled_e: jnp.ndarray,
+        do_cfg: bool = False,
+        n_prompts: int | None = None,
+        num_images_per_prompt: int = 1,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: int = 0,
+        height: int = 1024,
+        width: int = 1024,
+    ) -> np.ndarray:
+        """Generate from precomputed embeddings (CFG-concatenated when
+        ``do_cfg``: uncond rows first) — the staged path: encode,
+        ``free_encoders()``, and the MoE DiT loads on first use into the
+        freed HBM."""
+        self._ensure_transformer()
+        bsz = t5_e.shape[0] // (2 if do_cfg else 1)
+        if n_prompts is None:
+            n_prompts = bsz // num_images_per_prompt
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale
