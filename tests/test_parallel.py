@@ -221,3 +221,48 @@ def test_tensor_parallel_hidream_matches_replicated():
             jax.device_put(llama, mesh_mod.replicated(mesh)),
             mesh_mod.shard_batch(pooled, mesh))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_flux_w8_matches_unsharded():
+    """TP x w8 composition: weight-only-int8 FLUX params shard under the
+    same rules (the int8 payload takes the weight spec, the per-layer
+    scales replicate) and the sharded forward matches unsharded."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import flux as flux_mod
+    from uce_tpu.models import quantize as quantize_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    params = quantize_mod.quantize_params(
+        flux_mod.init_params(cfg, 0, scale=0.1),
+        quantize_mod.FLUX_SKIP, mode="w8")
+    rng = np.random.default_rng(0)
+    B, s_img, s_txt = 4, 16, 8
+    lat = jnp.asarray(rng.standard_normal((B, s_img, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((B, s_txt, 16)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, 24)), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    img_ids = make_img_ids(8, 8)
+    txt_ids = np.zeros((s_txt, 3))
+
+    def fwd(p, lat, t5, pooled):
+        return flux_mod.apply(p, lat, t5, pooled, t, img_ids, txt_ids, cfg)
+
+    ref = np.asarray(fwd(params, lat, t5, pooled))
+
+    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
+    sp = mesh_mod.shard_flux_params(params, mesh)
+    qw = sp["transformer_blocks"]["attn"]["to_q"]["weight"]
+    assert qw["w8int"].sharding.spec == P(None, None, "model")
+    assert qw["scale"].sharding.spec == P()
+    with mesh:
+        out = jax.jit(fwd)(sp, mesh_mod.shard_batch(lat, mesh),
+                           mesh_mod.shard_batch(t5, mesh),
+                           mesh_mod.shard_batch(pooled, mesh))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

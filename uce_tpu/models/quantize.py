@@ -43,11 +43,22 @@ FLUX_SKIP = ("x_embedder", "context_embedder", "time_text_embed",
 # targets (uce_hidream_edit.py:32-35), kept float for exact overlays.
 HIDREAM_SKIP = ("x_embedder", "t_embedder", "p_embedder",
                 "caption_projection", "final_layer", "gate")
-# Leaves under these keys are depth-STACKED [L, ...]; quantize with
-# per-layer scales so one outlier layer cannot coarsen every other
-# layer's scale.
+# Leaves under these keys are depth-STACKED [L, ...] (FLUX/HiDream DiTs);
+# quantize with per-layer scales so one outlier layer cannot coarsen
+# every other layer's scale. The SD UNet nests the SAME key name with a
+# numeric per-layer index ("transformer_blocks"/"0"/...), so a key only
+# counts as stacked when NOT followed by an index component.
 STACKED_KEYS = ("transformer_blocks", "single_transformer_blocks",
                 "double_stream_blocks", "single_stream_blocks")
+
+
+def _is_stacked(path) -> bool:
+    for i, k in enumerate(path):
+        if k in STACKED_KEYS:
+            nxt = path[i + 1] if i + 1 < len(path) else ""
+            if not str(nxt).isdigit():
+                return True
+    return False
 
 
 def _skipped(path, skip) -> bool:
@@ -75,7 +86,7 @@ def quantize_params(params, skip: Iterable = UNET_SKIP,
     weight_only = mode == "w8"
 
     def quantize(leaf, path):
-        if any(k in STACKED_KEYS for k in path):
+        if _is_stacked(path):
             # depth-stacked [L, ...] leaves: per-layer scales (and
             # per-expert for MoE [L, E, in, out] leaves); a stacked leaf
             # below 3-D is a per-layer 1-D scale (RMSNorm), not a matmul
