@@ -153,13 +153,17 @@ def bench_generation(tiny: bool, batch: int, steps: int,
         print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
               f"analytic -> {tflops:.1f} TFLOP/s, MFU {tflops/197:.1%} "
               f"(197 TFLOP/s v5e bf16 peak)", file=sys.stderr)
-        # Practical exact-bf16 ceiling on this part (docs/PERF.md
-        # "Roofline honesty"): d=40 attention at its padded-MXU floor +
-        # the rest at the 157 TFLOP/s realized chained-matmul rate.
-        ceiling = 1.40
-        print(f"= {batch / sec_per_run / ceiling:.0%} of the "
-              f"~{ceiling:.2f} img/s practical exact-bf16 ceiling for "
-              "this chip (see docs/PERF.md roofline)", file=sys.stderr)
+        if steps == 50 and batch == 8:
+            # Practical exact-bf16 ceiling for the HEADLINE protocol
+            # (batch 8, 50 steps — docs/PERF.md "Roofline honesty"):
+            # d=40 attention at its padded-MXU floor + the rest at the
+            # 157 TFLOP/s realized chained-matmul rate. Only meaningful
+            # for that protocol, so gated on it.
+            ceiling = 1.40
+            print(f"= {batch / sec_per_run / ceiling:.0%} of the "
+                  f"~{ceiling:.2f} img/s practical exact-bf16 ceiling "
+                  "for this chip (see docs/PERF.md roofline)",
+                  file=sys.stderr)
     return batch / sec_per_run
 
 

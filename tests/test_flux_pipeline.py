@@ -178,3 +178,18 @@ def test_staged_defers_edits_and_quantize(flux_snapshot, tmp_path):
         rtol=1e-2)
     assert quant.is_weight_only(
         tp["transformer_blocks"]["attn"]["to_q"]["weight"])
+
+
+def test_generate_from_embeddings_validates_rows(flux_snapshot):
+    """Mismatched embedding rows must fail with a clear ValueError at the
+    API boundary, not a shape error deep inside the jitted DiT."""
+    pipe = pf.FluxPipeline.from_pretrained(flux_snapshot,
+                                           max_sequence_length=16)
+    t5, pooled = pipe.encode_prompts(["a cat", "a dog", "a fox"])
+    with pytest.raises(ValueError, match="pre-expanded"):
+        pipe.generate_from_embeddings(t5, pooled, num_images_per_prompt=2,
+                                      num_inference_steps=1,
+                                      height=16, width=16)
+    with pytest.raises(ValueError, match="pre-expanded"):
+        pipe.generate_from_embeddings(t5, pooled[:2], num_inference_steps=1,
+                                      height=16, width=16)

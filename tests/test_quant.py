@@ -276,7 +276,8 @@ def test_bench_flux_tiny_smoke_both_modes():
     assert bench.bench_flux(batch=1, w8=True, _tiny=True) > 0
 
 
-def test_tiny_hidream_w8_forward_close(rng):
+def _tiny_hidream_setup(rng):
+    """Shared tiny MoE-DiT config + jitted forward for the quant tests."""
     import jax
 
     from uce_tpu.diffusion.pipeline_flux import make_img_ids
@@ -289,6 +290,22 @@ def test_tiny_hidream_w8_forward_close(rng):
         num_activated_experts=1, axes_dims_rope=(4, 2, 2),
         llama_layers=(0, 1, 2, 3), ffn_multiple_of=8)
     params = hd_mod.init_params(cfg, 0, 0.1)
+
+    hx = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((2, 6, 16)) * 0.3, jnp.float32)
+    llama = jnp.asarray(rng.standard_normal((4, 2, 5, 16)) * 0.3,
+                        jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((2, 20)) * 0.3, jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    img_ids = make_img_ids(8, 8)
+
+    fwd = jax.jit(lambda p, z: hd_mod.apply(
+        p, z, t5, llama, pooled, t, img_ids, cfg))
+    return cfg, params, hx, fwd
+
+
+def test_tiny_hidream_w8_forward_close(rng):
+    cfg, params, hx, fwd = _tiny_hidream_setup(rng)
     qp = quantize.quantize_params(params, quantize.HIDREAM_SKIP, mode="w8")
 
     # edit targets + router gate stay float; experts get per-layer,
@@ -301,16 +318,6 @@ def test_tiny_hidream_w8_forward_close(rng):
     assert quant.is_weight_only(ew)
     assert ew["scale"].shape[:3] == (2, 2, 1)  # [L, E, 1, out]
 
-    hx = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
-    t5 = jnp.asarray(rng.standard_normal((2, 6, 16)) * 0.3, jnp.float32)
-    llama = jnp.asarray(rng.standard_normal((4, 2, 5, 16)) * 0.3,
-                        jnp.float32)
-    pooled = jnp.asarray(rng.standard_normal((2, 20)) * 0.3, jnp.float32)
-    t = jnp.full((2,), 500.0, jnp.float32)
-    img_ids = make_img_ids(8, 8)
-
-    fwd = jax.jit(lambda p, z: hd_mod.apply(
-        p, z, t5, llama, pooled, t, img_ids, cfg))
     ref = np.asarray(fwd(params, hx))
     got = np.asarray(fwd(qp, hx))
     assert got.shape == ref.shape
@@ -318,3 +325,38 @@ def test_tiny_hidream_w8_forward_close(rng):
     assert rel < 0.05, rel
     cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
     assert cos > 0.998, cos
+
+
+def test_tiny_hidream_int8_forward_runs(rng):
+    """W8A8 ("int8") HiDream: routed-expert banks have no int8-MXU einsum
+    path, so _expert_mm must degrade them to dequant+float arithmetic
+    instead of crashing on the quantized dict (regression: einsum used to
+    receive the raw dict at trace time)."""
+    cfg, params, hx, fwd = _tiny_hidream_setup(rng)
+    qp = quantize.quantize_params(params, quantize.HIDREAM_SKIP,
+                                  mode="int8")
+    ew = qp["double_stream_blocks"]["ff_i"]["experts"]["w1"]["weight"]
+    assert quant.is_quantized(ew)
+
+    ref = np.asarray(fwd(params, hx))
+    got = np.asarray(fwd(qp, hx))
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.99, cos
+
+
+def test_overlay_edits_quantized_slot_uses_pipeline_dtype(rng):
+    """A float edit replacing a quantized slot must take the requested
+    dtype, not hardcoded bf16 (fp32 pipelines keep fp32 parity)."""
+    from uce_tpu.models import unet as unet_mod
+
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    params = {"attn": {"to_k": {
+        "weight": quant.quantize_weight(jnp.asarray(w), weight_only=True)}}}
+    edit = rng.standard_normal((8, 8)).astype(np.float32)
+    out = unet_mod.overlay_edits(params, {"attn.to_k.weight": edit},
+                                 dtype=jnp.float32)
+    leaf = out["attn"]["to_k"]["weight"]
+    assert leaf.dtype == jnp.float32
+    out16 = unet_mod.overlay_edits(params, {"attn.to_k.weight": edit})
+    assert out16["attn"]["to_k"]["weight"].dtype == jnp.bfloat16

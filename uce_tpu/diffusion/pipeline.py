@@ -91,7 +91,8 @@ class SDPipeline:
         from safetensors.numpy import load_file
 
         edits = load_file(safetensors_path)
-        self.unet_params = unet_mod.overlay_edits(self.unet_params, edits)
+        self.unet_params = unet_mod.overlay_edits(self.unet_params, edits,
+                                                  dtype=self.dtype)
 
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize UNet + VAE weights in place (models/quantize.py).

@@ -23,7 +23,8 @@ from uce_tpu.diffusion import schedulers
 from uce_tpu.edit import embeddings as emb
 from uce_tpu.models import clip_text, flux as flux_mod, t5 as t5_mod
 from uce_tpu.models import unet as unet_mod, vae as vae_mod
-from uce_tpu.models.hf_loader import load_json, load_state_dict
+from uce_tpu.models.hf_loader import (host_device_scope, load_json,
+                                      load_state_dict)
 from uce_tpu.utils import torch_rng
 
 
@@ -70,7 +71,7 @@ def _load_flux_transformer(model_dir: str, dtype, quantize: str | None):
     """
     tcfg = flux_mod.FluxConfig.from_hf(
         load_json(os.path.join(model_dir, "transformer", "config.json")))
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_device_scope():
         tparams = flux_mod.convert_hf_state_dict(
             load_state_dict(model_dir, "transformer", dtype=np.float32),
             tcfg)
@@ -292,9 +293,16 @@ class FluxPipeline:
         the (optionally quantized) DiT loads on first use into the freed
         HBM. ``t5_embeds`` rows must already be expanded per sample."""
         self._ensure_transformer()
-        if n_prompts is None:
-            n_prompts = t5_embeds.shape[0] // num_images_per_prompt
         bsz = t5_embeds.shape[0]
+        if n_prompts is None:
+            n_prompts = bsz // num_images_per_prompt
+        if (n_prompts * num_images_per_prompt != bsz
+                or pooled.shape[0] != bsz):
+            raise ValueError(
+                f"t5_embeds rows ({bsz}) / pooled rows ({pooled.shape[0]}) "
+                f"must equal n_prompts ({n_prompts}) x "
+                f"num_images_per_prompt ({num_images_per_prompt}); embeds "
+                "must be pre-expanded per sample")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale

@@ -32,7 +32,8 @@ from uce_tpu.diffusion.pipeline_flux import (
 from uce_tpu.edit import embeddings as emb
 from uce_tpu.models import clip_text, hidream as hd_mod, llama as llama_mod
 from uce_tpu.models import t5 as t5_mod, unet as unet_mod, vae as vae_mod
-from uce_tpu.models.hf_loader import load_json, load_state_dict
+from uce_tpu.models.hf_loader import (host_device_scope, load_json,
+                                      load_state_dict)
 from uce_tpu.utils import torch_rng
 
 
@@ -43,7 +44,7 @@ def _load_hidream_transformer(model_dir: str, dtype, quantize: str | None):
     load/unload (uce_hidream_edit.py:16-28, 51-64, 97-108)."""
     tcfg = hd_mod.HiDreamConfig.from_hf(
         load_json(os.path.join(model_dir, "transformer", "config.json")))
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_device_scope():
         tparams = hd_mod.convert_hf_state_dict(
             load_state_dict(model_dir, "transformer", dtype=np.float32),
             tcfg)
@@ -343,9 +344,20 @@ class HiDreamPipeline:
         ``free_encoders()``, and the MoE DiT loads on first use into the
         freed HBM."""
         self._ensure_transformer()
-        bsz = t5_e.shape[0] // (2 if do_cfg else 1)
+        rows = t5_e.shape[0]
+        bsz = rows // (2 if do_cfg else 1)
         if n_prompts is None:
             n_prompts = bsz // num_images_per_prompt
+        if (n_prompts * num_images_per_prompt * (2 if do_cfg else 1) != rows
+                or pooled_e.shape[0] != rows
+                or llama_e.shape[1] != rows):
+            raise ValueError(
+                f"embedding rows (t5 {rows}, pooled {pooled_e.shape[0]}, "
+                f"llama {llama_e.shape[1]}) must equal n_prompts "
+                f"({n_prompts}) x num_images_per_prompt "
+                f"({num_images_per_prompt})"
+                + (" x 2 (CFG: uncond rows first)" if do_cfg else "")
+                + "; embeds must be pre-expanded per sample")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
         lh, lw = height // vae_scale, width // vae_scale

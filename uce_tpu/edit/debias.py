@@ -187,7 +187,8 @@ def run_debias(
         zero-shot classify — the whole measurement is two device programs
         (the reference loops concepts with 10-image pipeline calls each,
         uce_sd_debias.py:21-28)."""
-        pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights)
+        pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights,
+                                                  dtype=pipe.dtype)
         n_img = settings.num_images_per_prompt
         import zlib
 

@@ -20,6 +20,27 @@ def load_json(path: str) -> dict:
         return json.load(f)
 
 
+def host_device_scope():
+    """Context manager pinning array creation to the host CPU backend.
+
+    Used by the staged DiT loaders so a full-size fp32 state dict never
+    lands on the accelerator (pipeline_flux._load_flux_transformer).
+    When the process is pinned to a single platform (``--device tpu``
+    sets ``jax_platforms=tpu``, unregistering the CPU backend) there is
+    nothing to pin to — fall back to the default device rather than
+    crash; staging is then the caller's memory trade-off to make.
+    """
+    import contextlib
+
+    import jax
+
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpus[0])
+
+
 def iter_safetensors(model_dir: str, subfolder: str | None = None) -> Iterable[str]:
     """Yield all .safetensors shard paths under a snapshot (sub)directory."""
     root = os.path.join(model_dir, subfolder) if subfolder else model_dir

@@ -126,8 +126,13 @@ def _expert_mm(x, p, eq):
     applied on the einsum output where they commute exactly.
     """
     w = p["weight"]
-    if quant.is_weight_only(w):
-        y = jnp.einsum(eq, x, w[quant.WKEY].astype(x.dtype))
+    if quant.is_weight_only(w) or quant.is_quantized(w):
+        # W8A8 ("int8") expert banks take the same dequant-to-activation-
+        # dtype arithmetic as weight-only: there is no int8-MXU routed-
+        # expert einsum (and int8 ops lose to bf16 on this toolchain
+        # anyway — docs/PERF.md), so only the storage is int8.
+        key = quant.WKEY if quant.is_weight_only(w) else quant.QKEY
+        y = jnp.einsum(eq, x, w[key].astype(x.dtype))
         return y * jnp.squeeze(w["scale"], 1).astype(y.dtype)  # [E, out]
     return jnp.einsum(eq, x, w)
 

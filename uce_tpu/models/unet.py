@@ -437,10 +437,15 @@ def flatten_params(tree: Mapping, prefix: str = "") -> dict[str, jnp.ndarray]:
     return out
 
 
-def overlay_edits(params: dict, edits: Mapping[str, np.ndarray]) -> dict:
+def overlay_edits(params: dict, edits: Mapping[str, np.ndarray],
+                  dtype=None) -> dict:
     """Apply UCE safetensors edits (diffusers flat keys, torch layouts) onto
     a nested param tree — the JAX analogue of load_state_dict(strict=False)
-    (``evalscripts/generate-images-sd.py:17-19``)."""
+    (``evalscripts/generate-images-sd.py:17-19``).
+
+    ``dtype``: activation/param dtype used when a float edit replaces a
+    quantized (int8-dict) slot, where there is no float ``old.dtype`` to
+    inherit; defaults to bfloat16."""
     edited = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
     skipped = []
     for key, v in edits.items():
@@ -467,7 +472,7 @@ def overlay_edits(params: dict, edits: Mapping[str, np.ndarray]) -> dict:
                 raise ValueError(
                     f"edit for '{key}' has shape {v.shape}, model expects "
                     f"{payload.shape}")
-            node[leaf] = jnp.asarray(v, dtype=jnp.bfloat16)
+            node[leaf] = jnp.asarray(v, dtype=dtype or jnp.bfloat16)
         else:
             if v.shape != old.shape:
                 raise ValueError(

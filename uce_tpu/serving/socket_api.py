@@ -77,10 +77,20 @@ class SocketFrontend:
             try:
                 probe.settimeout(1.0)
                 probe.connect(socket_path)
-            except (ConnectionRefusedError, socket.timeout, OSError):
-                os.unlink(socket_path)  # stale leftover
+            except (ConnectionRefusedError, FileNotFoundError):
+                # the ONLY signals that prove no listener holds the
+                # endpoint; a connect timeout can just mean a live but
+                # starved server (full backlog, long GIL hold), and
+                # unlinking then would silently steal its socket
+                try:
+                    os.unlink(socket_path)  # stale leftover
+                except FileNotFoundError:
+                    pass
+            except OSError as exc:
+                raise RuntimeError(
+                    f"cannot tell whether {socket_path} is live ({exc}); "
+                    "remove it manually if the old server is gone") from exc
             else:
-                probe.close()
                 raise RuntimeError(
                     f"a server is already listening on {socket_path}")
             finally:
