@@ -25,6 +25,15 @@ def register_cli(sub) -> None:
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--max_sequence_length", type=int, default=128)
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["w8", "int8"],
+                   help="quantize the MoE DiT: w8 = weight-only int8 "
+                        "(half weight HBM, bf16 arithmetic)")
+    p.add_argument("--staged", action="store_true",
+                   help="memory-staged: encode ALL prompts with the quad "
+                        "encoders first, free them, then load the DiT "
+                        "into the vacated HBM (reference "
+                        "uce_hidream_edit.py three-phase load)")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
@@ -41,7 +50,8 @@ def _cmd(args) -> int:
 
     pipe = HiDreamPipeline.from_pretrained(
         args.model_name, llama_dir=args.llama_path,
-        max_sequence_length=args.max_sequence_length)
+        max_sequence_length=args.max_sequence_length,
+        staged=args.staged, quantize=args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
 
@@ -52,17 +62,48 @@ def _cmd(args) -> int:
     os.makedirs(folder, exist_ok=True)
 
     df = pd.read_csv(args.prompts_path)
+    rows = [row for _, row in df.iterrows()
+            if args.from_case <= row.case_number <= args.till_case]
+    do_cfg = args.guidance_scale > 1.0
+
+    embeds = None
+    if args.staged:
+        # phase 1: encode every case with the quad encoders (CFG uncond
+        # rows first, matching __call__), then free them so the MoE DiT
+        # loads into the vacated HBM (phase 2, on first generate)
+        import jax.numpy as jnp
+
+        def _encode_case(prompt: str):
+            t5_c, ll_c, p_c = pipe.encode_prompts([prompt] * args.num_samples)
+            if not do_cfg:
+                return t5_c, ll_c, p_c
+            t5_u, ll_u, p_u = pipe.encode_prompts([""] * args.num_samples)
+            return (jnp.concatenate([t5_u, t5_c], axis=0),
+                    jnp.concatenate([ll_u, ll_c], axis=1),
+                    jnp.concatenate([p_u, p_c], axis=0))
+
+        embeds = [_encode_case(str(row.prompt)) for row in rows]
+        pipe.free_encoders()
+
     n = 0
-    for _, row in df.iterrows():
-        if not (args.from_case <= row.case_number <= args.till_case):
-            continue
-        images = pipe(
-            str(row.prompt),
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.guidance_scale,
-            num_images_per_prompt=args.num_samples,
-            seed=int(row.evaluation_seed),
-            height=args.image_size, width=args.image_size)
+    for i, row in enumerate(rows):
+        if args.staged:
+            t5_e, llama_e, pooled_e = embeds[i]
+            images = pipe.generate_from_embeddings(
+                t5_e, llama_e, pooled_e, do_cfg=do_cfg, n_prompts=1,
+                num_images_per_prompt=args.num_samples,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                seed=int(row.evaluation_seed),
+                height=args.image_size, width=args.image_size)
+        else:
+            images = pipe(
+                str(row.prompt),
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                num_images_per_prompt=args.num_samples,
+                seed=int(row.evaluation_seed),
+                height=args.image_size, width=args.image_size)
         save_case_images(images, folder, row.case_number)
         n += 1
     print(f"generated {n} cases")

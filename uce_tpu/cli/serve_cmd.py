@@ -55,23 +55,28 @@ def _cmd(args) -> int:
     from uce_tpu.serving.server import GenerationServer, ServerConfig
     from uce_tpu.serving.socket_api import SocketFrontend
 
+    # DiT families quantize HOST-side at load (from_pretrained(quantize=)):
+    # a full-size bf16 FLUX/HiDream tree may not fit the chip at all, so
+    # quantize-after-load would OOM before quantize_weights could run.
     if args.family == "flux":
         from uce_tpu.diffusion.pipeline_flux import FluxPipeline
 
-        pipe = FluxPipeline.from_pretrained(args.model_id)
+        pipe = FluxPipeline.from_pretrained(args.model_id,
+                                            quantize=args.quantize)
     elif args.family == "hidream":
         from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
 
         pipe = HiDreamPipeline.from_pretrained(args.model_id,
-                                               llama_dir=args.llama_dir)
+                                               llama_dir=args.llama_dir,
+                                               quantize=args.quantize)
     else:
         from uce_tpu.diffusion.pipeline import SDPipeline
 
         pipe = SDPipeline.from_pretrained(args.model_id)
+        if args.quantize:
+            pipe.quantize_weights(args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
-    if args.quantize:
-        pipe.quantize_weights(args.quantize)
     cfg = ServerConfig(
         batch_size=args.batch_size,
         num_inference_steps=args.num_inference_steps,
