@@ -142,3 +142,20 @@ def test_split_skip_matches_concat(unet_params, monkeypatch):
     # one extra fp32->bf16 rounding on two convs; everything else identical
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
     assert np.abs(out - ref).mean() < 2e-3
+
+
+def test_group_norm_reduce_stats_variant_matches(monkeypatch):
+    """UCE_GN_STATS=reduce (consumer-fusible 'bhwc->bc' sums) must compute
+    the same statistics as the indicator-matmul path."""
+    import numpy as np
+
+    from uce_tpu.models import layers
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.bfloat16)
+    sc = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    bi = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    ref = np.asarray(layers.group_norm(x, sc, bi, num_groups=4), np.float32)
+    monkeypatch.setenv("UCE_GN_STATS", "reduce")
+    got = np.asarray(layers.group_norm(x, sc, bi, num_groups=4), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-2)

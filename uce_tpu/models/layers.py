@@ -92,8 +92,16 @@ def _group_norm_mm(x, scale, bias, g, eps):
         np.kron(np.eye(g, dtype=np.float32), np.ones((c // g, 1), np.float32)))
     x32 = x.astype(jnp.float32)
     n = h * w * (c // g)
-    s1 = jnp.einsum("bhwc,cg->bg", x32, ind) / n
-    s2 = jnp.einsum("bhwc,cg->bg", x32 * x32, ind) / n
+    if os.environ.get("UCE_GN_STATS") == "reduce":
+        # A/B variant: plain channel-keeping reductions ('bhwc->bc') are
+        # consumer-fusible into the producing conv/elementwise fusion
+        # (dots are not), potentially making the stats read free; the
+        # tiny [b,c]@[c,g] dot then folds channel sums into group sums.
+        s1 = (x32.sum((1, 2)) @ ind) / n
+        s2 = ((x32 * x32).sum((1, 2)) @ ind) / n
+    else:
+        s1 = jnp.einsum("bhwc,cg->bg", x32, ind) / n
+        s2 = jnp.einsum("bhwc,cg->bg", x32 * x32, ind) / n
     inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)
     scale32 = scale.astype(jnp.float32).reshape(g, c // g)
     bias32 = bias.astype(jnp.float32).reshape(g, c // g)
