@@ -393,7 +393,7 @@ def main() -> int:
               file=sys.stderr)
 
     if args.flux:
-        flux_img_s = bench_flux()
+        flux_img_s = bench_flux(batch=args.batch)
         print(f"flux-schnell 512x512 4-step half-depth DiT: "
               f"{flux_img_s:.3f} img/s (secondary; ~/2 for full depth; "
               "excludes T5/VAE)", file=sys.stderr)

@@ -89,10 +89,15 @@ def test_explicit_impl_degrade_warns(rng, monkeypatch, caplog):
     q, k, v = _qkv(rng)
     monkeypatch.setattr(attn, "_fallback_warned", False)
     monkeypatch.setattr(attn, "_sdk_fallback_warned", False)
+    monkeypatch.setattr(attn, "_not_applicable_warned", False)
     with caplog.at_level(logging.WARNING, logger=attn.logger.name):
         out = attn.dot_product_attention(q, k, v, impl="flash", causal=True)
     assert out.shape == q.shape
     assert any("not applicable" in r.getMessage() for r in caplog.records)
+    # the informational notice must NOT consume the kernel-FAILURE flags:
+    # a later real kernel regression still gets its once-per-process warning
+    assert attn._fallback_warned is False
+    assert attn._sdk_fallback_warned is False
     # force_xla is a deliberate router decision — no warning
     caplog.clear()
     monkeypatch.setattr(attn, "_fallback_warned", False)

@@ -143,7 +143,8 @@ def test_pallas_method_matches_collapsed():
 
     with pltpu.force_tpu_interpret_mode():
         got = erase_from_embeddings(res.targets, embeds, ["van gogh"],
-                                    ["art"], ["nature"], method="pallas")
+                                    ["art"], ["nature"], method="pallas",
+                                    pallas_interpret=True)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=2e-3, atol=2e-3)
 

@@ -106,6 +106,7 @@ def erase_from_embeddings(
     lamb: float = 0.5,
     method: str = "collapsed",
     apply_on: str = "device",
+    pallas_interpret: bool = False,
 ) -> dict[str, np.ndarray]:
     """Solve the edit given precomputed concept embeddings.
 
@@ -133,20 +134,13 @@ def erase_from_embeddings(
 
             import jax
 
-            def _interpret_active() -> bool:
-                # force_tpu_interpret_mode (tests) makes the Mosaic kernel
-                # runnable off-TPU; detect it so the backend gate below
-                # doesn't defeat interpret-mode runs.
-                try:
-                    from jax._src.config import (
-                        pallas_tpu_interpret_mode_context_manager as cm)
-                    return cm.value is not None
-                except ImportError:  # private API moved — assume inactive
-                    return False
-
+            # pallas_interpret: caller runs under
+            # pltpu.force_tpu_interpret_mode() (tests), which makes the
+            # Mosaic kernel runnable off-TPU — an explicit flag, not a
+            # sniff of jax-private config state.
             if c_edit.shape[1] > MAX_PALLAS_DIM or (
                     jax.default_backend() != "tpu"
-                    and not _interpret_active()):
+                    and not pallas_interpret):
                 # The kernel's documented fallback (uce_solve.py docstring):
                 # SDXL's d=2048 exceeds the scoped-VMEM budget, and the
                 # Mosaic kernel only compiles for TPU — use the XLA

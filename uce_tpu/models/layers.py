@@ -17,15 +17,44 @@ from uce_tpu.ops import quant
 from uce_tpu.utils.ablate import ablated  # noqa: F401  (re-export)
 
 
+_conv_pallas_warned = False
+
+
 def conv2d(x: jnp.ndarray, kernel, bias: jnp.ndarray | None = None,
            stride: int = 1, padding: int | str = 1) -> jnp.ndarray:
-    """NHWC conv. kernel HWIO, or a quantized-int8 dict (ops/quant.py)."""
+    """NHWC conv. kernel HWIO, or a quantized-int8 dict (ops/quant.py).
+
+    ``UCE_CONV_IMPL=pallas`` routes eligible 3x3 stride-1 convs through
+    the Pallas implicit-GEMM kernel (ops/pallas/conv3x3.py: one HBM read
+    of x, 9 unrolled MXU taps into an fp32 accumulator) — opt-in for
+    end-to-end A/B against XLA's native conv, like UCE_GN_IMPL.
+    """
     if quant.is_weight_only(kernel):
         return quant.wconv2d(x, kernel, bias, stride, padding)
     if quant.is_quantized(kernel):
         if not isinstance(padding, int):
             raise ValueError("quantized conv supports integer padding only")
         return quant.qconv2d(x, kernel, bias, stride, padding)
+    if (os.environ.get("UCE_CONV_IMPL") == "pallas"
+            and jax.default_backend() == "tpu"
+            and x.dtype == jnp.bfloat16
+            and stride == 1 and padding == 1
+            and getattr(kernel, "shape", ())[:2] == (3, 3)):
+        from uce_tpu.ops.pallas import conv3x3 as conv_pallas
+
+        if conv_pallas.supported(x, kernel):
+            try:
+                return conv_pallas.conv3x3(x, kernel, bias)
+            except (ValueError, NotImplementedError, RuntimeError) as exc:
+                global _conv_pallas_warned
+                if not _conv_pallas_warned:
+                    _conv_pallas_warned = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "Pallas conv3x3 failed (%s: %s); falling back to "
+                        "XLA conv for the rest of this process.",
+                        type(exc).__name__, exc)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:

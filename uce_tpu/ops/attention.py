@@ -20,6 +20,7 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 _fallback_warned = False          # flash kernel (kept name: tests patch it)
 _sdk_fallback_warned = False      # sd kernel has its own once-flag
+_not_applicable_warned = False    # informational notice, not a failure
 
 
 def _warn_flash_fallback(exc: Exception, kernel: str = "flash") -> None:
@@ -180,12 +181,15 @@ def dot_product_attention(
         # constraints (mask/causal semantics the kernels don't implement,
         # or a non-TPU backend) force the XLA path — say so once so a
         # benchmark or test doesn't measure XLA believing it measured the
-        # kernel.
-        _warn_flash_fallback(
-            RuntimeError(
-                f"impl={impl!r} requested but not applicable to this call "
-                f"(mask={mask is not None}, causal={causal}, "
-                f"backend={jax.default_backend()!r}, or unsupported shape); "
-                "using XLA"),
-            kernel=impl if impl == "sdk" else "flash")
+        # kernel.  Uses its OWN once-flag: a routine "not applicable"
+        # notice (e.g. the VAE shape under UCE_ATTN_IMPL=sdk) must not
+        # consume the kernel-FAILURE warning that flags real regressions.
+        global _not_applicable_warned
+        if not _not_applicable_warned:
+            _not_applicable_warned = True
+            logger.warning(
+                "impl=%r requested but not applicable to this call "
+                "(mask=%s, causal=%s, backend=%r, or unsupported shape); "
+                "using XLA.", impl, mask is not None, causal,
+                jax.default_backend())
     return _xla_attention(q, k, v, mask, causal, scale)

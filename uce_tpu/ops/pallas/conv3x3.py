@@ -46,16 +46,27 @@ def _pick_cout_tile(cin: int, cout: int, h: int, w: int,
     is kernel-local scratch and counts once. Budget leaves ~2 MB headroom
     under the 16 MB Mosaic limit.
     """
-    for tc in (cout, 512, 384, 320, 256, 128):
-        if tc > cout or cout % tc != 0:
-            continue
+    # Every candidate must DIVIDE cout (the grid covers cout // tc tiles;
+    # a non-divisor would leave trailing channels unwritten), so iterate
+    # cout's divisors largest-first and take the first that fits.
+    for tc in sorted((d for d in range(1, cout + 1) if cout % d == 0),
+                     reverse=True):
         weights = 9 * cin * tc * 2
         acc = h * w * tc * 4
         xtile = (h + 2) * (w + 2) * cin * 2
         otile = h * w * tc * 2
         if 2 * (weights + xtile + otile) + acc <= vmem_budget:
             return tc
-    return min(cout, 128)
+    return 0  # nothing fits (the x tile alone blows VMEM) -> unsupported
+
+
+def supported(x, kernel) -> bool:
+    """True when this kernel can handle the call: 3x3 HWIO kernel, 4-D
+    NHWC input, and some cout tile fits the scoped-VMEM budget."""
+    if x.ndim != 4 or kernel.ndim != 4 or kernel.shape[:2] != (3, 3):
+        return False
+    b, h, w, cin = x.shape
+    return _pick_cout_tile(cin, kernel.shape[-1], h, w) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -67,6 +78,10 @@ def conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     tc = _pick_cout_tile(cin, cout, h, w)
+    if tc <= 0:
+        raise ValueError(
+            f"conv3x3: no cout tile fits scoped VMEM for shape {x.shape} "
+            f"x {kernel.shape}")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     out = pl.pallas_call(
