@@ -88,3 +88,44 @@ def test_preprocess_shapes():
     out = np.asarray(clip_mod.preprocess_images(sq, 32))
     expected = (128 / 255.0 - clip_mod.CLIP_IMAGE_MEAN) / clip_mod.CLIP_IMAGE_STD
     np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_embed_texts_memoized(monkeypatch):
+    """Zero-shot eval calls classify() with the same label list per image
+    batch; the text tower must encode each label set once per process."""
+    model, cfg = _tiny_clip()
+    tcfg = clip_text.CLIPTextConfig.from_hf(
+        dict(cfg.text_config.to_dict(), projection_dim=16))
+    sd = model.state_dict()
+
+    class TinyTok:
+        model_max_length = 16
+
+        def __call__(self, texts, **kw):
+            ids = [[3 + (hash(t) + i) % 90 for i in range(4)] + [98]
+                   for t in texts]
+            return {"input_ids": [r + [98] * (16 - len(r)) for r in ids],
+                    "attention_mask": [[1] * 5 + [0] * 11 for _ in ids]}
+
+    ours = clip_mod.CLIPModel(
+        vision_params={}, vision_config=None,
+        text_params=clip_text.convert_hf_state_dict(
+            {k: v for k, v in sd.items()
+             if k.startswith("text_model.") or k == "text_projection.weight"},
+            tcfg),
+        text_config=tcfg, tokenizer=TinyTok(), logit_scale=100.0)
+
+    calls = {"n": 0}
+    real = clip_text.encode_tokens
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(clip_text, "encode_tokens", counted)
+    a = ours.embed_texts(["a man", "a woman"])
+    b = ours.embed_texts(["a man", "a woman"])
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ours.embed_texts(["other"])
+    assert calls["n"] == 2

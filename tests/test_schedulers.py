@@ -144,3 +144,27 @@ def test_plan_from_hf_as_inherits_model_hyperparameters():
 def test_plan_from_hf_as_accepts_class_names_too():
     plan = schedulers.plan_from_hf_as("DDIMScheduler", {}, 4)
     assert plan.kind == "ddim"
+
+
+def test_ddim_plan_full_train_steps_no_overflow():
+    """num_steps == num_train_timesteps with steps_offset=1 puts the
+    leading timestep one past the alphas-cumprod table; both ends must
+    clip (regression: IndexError at plan build)."""
+    plan = schedulers.ddim_plan(50, num_train_timesteps=50)
+    assert plan.num_calls == 50
+    assert float(plan.timesteps.max()) <= 50
+
+
+def test_plan_from_hf_flow_match_dynamic_shifting_mu():
+    cfg = {"_class_name": "FlowMatchEulerDiscreteScheduler", "shift": 3.0,
+           "use_dynamic_shifting": True}
+    import numpy as np
+    static = schedulers.plan_from_hf(cfg, 4)          # warns, static shift
+    dyn = schedulers.plan_from_hf(cfg, 4, mu=1.15)    # exp(mu) schedule
+    s_static = np.asarray(static.tables["sigmas"])
+    s_dyn = np.asarray(dyn.tables["sigmas"])
+    assert not np.allclose(s_static, s_dyn)
+    # mu schedule: sigma' = e^mu / (e^mu + 1/sigma - 1) on the base grid
+    base = np.linspace(1.0, 0.25, 4)
+    expect = np.exp(1.15) / (np.exp(1.15) + 1.0 / base - 1.0)
+    np.testing.assert_allclose(s_dyn[:4], expect, rtol=1e-5)

@@ -32,10 +32,14 @@ def concept_algebra_combine(eps_branches: jnp.ndarray,
     (``concept_algebra.py:113-118`` computes u and the projection with
     tensor-wide sums)."""
     uncond, text, p0, p1, p2 = jnp.split(eps_branches, 5, axis=0)
-    noise_tmp = text - p2
-    u = p1 - p0
-    u = u / jnp.sqrt((u.astype(jnp.float32) ** 2).sum()).astype(u.dtype)
-    text = text - (noise_tmp * u).sum() * u
+    # Both whole-tensor reductions in fp32: the reference computes them in
+    # fp32 torch, and a bf16 accumulation over ~1e5 elements carries only
+    # ~3 significant digits into the projection coefficient.
+    noise_tmp = (text - p2).astype(jnp.float32)
+    u32 = (p1 - p0).astype(jnp.float32)
+    u32 = u32 / jnp.sqrt((u32 ** 2).sum())
+    proj = (noise_tmp * u32).sum()
+    text = (text.astype(jnp.float32) - proj * u32).astype(text.dtype)
     return uncond + guidance_scale * (text - uncond)
 
 

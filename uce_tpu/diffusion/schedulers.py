@@ -21,11 +21,14 @@ protocol.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Mapping
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def make_betas(num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
@@ -111,8 +114,12 @@ def ddim_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
     ts = _leading_timesteps(num_train_timesteps, num_steps, steps_offset)
     prev = ts - num_train_timesteps // num_steps
     final_alpha = 1.0 if set_alpha_to_one else acp[0]
-    alpha_t = acp[np.clip(ts, 0, None)]
-    alpha_prev = np.where(prev >= 0, acp[np.clip(prev, 0, None)], final_alpha)
+    # clip BOTH ends: with num_steps == num_train_timesteps and
+    # steps_offset=1 the leading timestep equals num_train_timesteps,
+    # one past the end of acp (pndm_plan clips identically).
+    alpha_t = acp[np.clip(ts, 0, num_train_timesteps - 1)]
+    alpha_prev = np.where(
+        prev >= 0, acp[np.clip(prev, 0, num_train_timesteps - 1)], final_alpha)
     return Plan(
         kind="ddim", num_calls=num_steps,
         timesteps=jnp.asarray(ts, jnp.float32),
@@ -225,9 +232,14 @@ def _pndm_step(plan, eps, i, sample, carry):
     t = plan.tables
     hist, held = carry[:3], carry[3]
     sample = jnp.where(t["use_held"][i], held, sample)
-    eps = _to_eps_alpha(plan, eps, i, sample)
     c = t["coeffs"][i]
-    eps_eff = c[0] * eps + c[1] * hist[0] + c[2] * hist[1] + c[3] * hist[2]
+    # History stores RAW model outputs; the Adams-Bashforth combination
+    # runs on raw outputs and the v->eps conversion applies ONCE to the
+    # combined output at the call's effective alpha/sample — diffusers
+    # step_plms appends model_output to self.ets before conversion and
+    # _get_prev_sample converts the combination (scheduling_pndm.py).
+    out_eff = c[0] * eps + c[1] * hist[0] + c[2] * hist[1] + c[3] * hist[2]
+    eps_eff = _to_eps_alpha(plan, out_eff, i, sample)
 
     a_t, a_prev = t["alpha_t"][i], t["alpha_prev"][i]
     b_t, b_prev = 1.0 - a_t, 1.0 - a_prev
@@ -292,13 +304,11 @@ def lms_plan(num_steps: int, num_train_timesteps=1000, beta_start=0.00085,
 
 def _lms_step(plan, eps, i, sample, carry):
     t = plan.tables
-    sigma = t["sigmas"][i]
     # eps-prediction: pred_x0 = sample - sigma*eps; derivative = eps
     derivative = _sigma_derivative(plan, eps, i, sample)
     hist = jnp.concatenate([derivative[None], carry[:-1]], axis=0)
     c = t["coeffs"][i]  # [order]
     delta = jnp.tensordot(c, hist, axes=1)
-    del sigma
     return sample + delta, hist
 
 
@@ -415,8 +425,15 @@ def plan_from_hf_as(name: str, cfg: Mapping, num_steps: int) -> Plan:
     return plan_from_hf(dict(cfg, _class_name=cls), num_steps)
 
 
-def plan_from_hf(cfg: Mapping, num_steps: int) -> Plan:
-    """Build a plan from a diffusers scheduler_config.json dict."""
+def plan_from_hf(cfg: Mapping, num_steps: int,
+                 mu: float | None = None) -> Plan:
+    """Build a plan from a diffusers scheduler_config.json dict.
+
+    ``mu``: resolution-dependent shift exponent for FlowMatchEuler
+    configs with ``use_dynamic_shifting`` (compute via
+    pipeline_flux.compute_shift_mu from the packed sequence length);
+    ignored for other classes. Dynamic-shifting configs without a ``mu``
+    fall back to the static shift with a warning."""
     cls = cfg.get("_class_name", "PNDMScheduler")
     common = dict(
         num_train_timesteps=cfg.get("num_train_timesteps", 1000),
@@ -441,7 +458,15 @@ def plan_from_hf(cfg: Mapping, num_steps: int) -> Plan:
             timestep_spacing=cfg.get("timestep_spacing", "leading"),
             steps_offset=cfg.get("steps_offset", 1), **common)
     if cls == "FlowMatchEulerDiscreteScheduler":
+        use_dyn = cfg.get("use_dynamic_shifting", False)
+        if use_dyn and mu is None:
+            logger.warning(
+                "scheduler config requests use_dynamic_shifting but no mu "
+                "was provided; using the static shift=%s schedule "
+                "(pass mu=compute_shift_mu(seq_len, ...))",
+                cfg.get("shift", 1.0))
         return flow_match_euler_plan(
             num_steps, num_train_timesteps=cfg.get("num_train_timesteps", 1000),
-            shift=cfg.get("shift", 1.0))
+            shift=cfg.get("shift", 1.0),
+            use_dynamic_shifting=use_dyn, mu=mu)
     raise ValueError(f"unsupported scheduler class: {cls}")

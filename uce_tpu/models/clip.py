@@ -217,13 +217,25 @@ class CLIPModel:
         )
 
     def embed_texts(self, texts: Sequence[str]) -> jnp.ndarray:
-        from uce_tpu.edit.embeddings import tokenize_batch
+        # Memoized per label tuple: zero-shot classification over an eval
+        # folder calls this with the SAME few attribute strings for every
+        # image batch — one text-encoder launch instead of one per flush.
+        key = tuple(texts)
+        cache = getattr(self, "_text_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_text_cache", cache)
+        if key not in cache:
+            from uce_tpu.edit.embeddings import tokenize_batch
 
-        ids, _ = tokenize_batch(self.tokenizer, list(texts),
-                                self.text_config.max_position_embeddings)
-        _, pooled, _ = clip_text.encode_tokens(
-            self.text_params, jnp.asarray(ids), self.text_config)
-        return pooled
+            ids, _ = tokenize_batch(self.tokenizer, list(texts),
+                                    self.text_config.max_position_embeddings)
+            _, pooled, _ = clip_text.encode_tokens(
+                self.text_params, jnp.asarray(ids), self.text_config)
+            cache[key] = pooled
+            if len(cache) > 64:  # arbitrary label sets: bound the cache
+                cache.pop(next(iter(cache)))
+        return cache[key]
 
     def embed_images(self, images) -> jnp.ndarray:
         pixels = preprocess_images(images, self.vision_config.image_size)

@@ -53,13 +53,6 @@ def randn(shape, seed: int, dtype=np.float32, layout: str = "nchw_to_nhwc"):
     return rng.standard_normal(tuple(shape)).astype(dtype)
 
 
-def randn_per_image(batch: int, shape_hw_c, seed: int, dtype=np.float32):
-    """diffusers batch semantics with a single generator: one sequential
-    draw over the full [B, C, H, W] tensor."""
-    h, w, c = shape_hw_c
-    return randn((batch, h, w, c), seed, dtype)
-
-
 def draw_prompt_latents(shape_hw_c, seed, n_prompts: int,
                         num_images_per_prompt: int,
                         dtype=np.float32) -> np.ndarray:
