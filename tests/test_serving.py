@@ -201,3 +201,22 @@ def test_socket_path_not_stolen(pipe, tmp_path):
     finally:
         frontend.close()
         srv.close()
+
+
+def test_frontend_close_before_serve_does_not_hang(pipe, tmp_path):
+    """close() without serve_forever()/start_background() must return
+    (BaseServer.shutdown would wait forever on the never-set
+    is_shut_down event) and release the socket path."""
+    import os
+    import time
+
+    from uce_tpu.serving import socket_api
+
+    sock = str(tmp_path / "uce.sock")
+    srv = GenerationServer(pipe, ServerConfig(batch_size=2, warmup=False,
+                                              **CFG))
+    frontend = socket_api.SocketFrontend(srv, sock)
+    t0 = time.monotonic()
+    frontend.close()  # loop never entered
+    assert time.monotonic() - t0 < 5.0
+    assert not os.path.exists(sock)

@@ -85,12 +85,16 @@ def _cmd(args) -> int:
         scheduler=args.scheduler, max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
     )
-    server = GenerationServer(pipe, cfg).start()
+    # Bind the socket BEFORE the warmup compile: an occupied socket path
+    # fails in milliseconds instead of after minutes of XLA compilation,
+    # and clients can queue on the endpoint while warmup runs.
+    server = GenerationServer(pipe, cfg)
     frontend = SocketFrontend(server, args.socket)
-    print(f"uce serve: listening on {args.socket} "
-          f"(batch={cfg.batch_size}, {cfg.height}x{cfg.width}, "
-          f"steps={cfg.num_inference_steps})", flush=True)
     try:
+        server.start()
+        print(f"uce serve: listening on {args.socket} "
+              f"(batch={cfg.batch_size}, {cfg.height}x{cfg.width}, "
+              f"steps={cfg.num_inference_steps})", flush=True)
         frontend.serve_forever()
     except KeyboardInterrupt:
         pass

@@ -161,6 +161,16 @@ def run_debias(
         for k, v in flat.items():
             if sd_targets.is_sd_cross_attn_kv(k):
                 targets[k] = np.asarray(v, np.float32).T  # back to torch layout
+        if not targets:
+            # quantized pipelines flatten to '...to_k.weight.w8int' keys
+            # that the target filter never matches — fail here with the
+            # cause, not in the solver's np.concatenate([])
+            raise ValueError(
+                "no cross-attn to_k/to_v edit targets found in the UNet "
+                "params; if the pipeline was quantized "
+                "(quantize_weights), run debias on an unquantized "
+                "pipeline — the solver edits float weights (overlays "
+                "onto a quantized pipeline for GENERATION are fine)")
         resources = SDEditResources(
             targets=targets, text_params=pipe.text_params,
             text_config=pipe.text_config, tokenizer=pipe.tokenizer,

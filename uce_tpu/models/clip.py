@@ -188,6 +188,9 @@ class CLIPModel:
     text_config: clip_text.CLIPTextConfig
     tokenizer: object
     logit_scale: float = 100.0
+    # memoized text embeddings per label tuple (embed_texts)
+    _text_cache: dict = dataclasses.field(default_factory=dict, init=False,
+                                          repr=False)
 
     @classmethod
     def from_pretrained(cls, model_dir: str) -> "CLIPModel":
@@ -221,10 +224,7 @@ class CLIPModel:
         # folder calls this with the SAME few attribute strings for every
         # image batch — one text-encoder launch instead of one per flush.
         key = tuple(texts)
-        cache = getattr(self, "_text_cache", None)
-        if cache is None:
-            cache = {}
-            object.__setattr__(self, "_text_cache", cache)
+        cache = self._text_cache
         if key not in cache:
             from uce_tpu.edit.embeddings import tokenize_batch
 

@@ -468,6 +468,11 @@ def overlay_edits(params: dict, edits: Mapping[str, np.ndarray],
             # quantized slot (ops/quant.py dict): the float edit replaces
             # it outright — the layer dispatch handles mixed trees
             payload = old.get("qint8", old.get("w8int"))
+            if payload is None:
+                # a module SUBTREE, not a quantized leaf — the key names
+                # a module path without a parameter suffix; strict=False
+                skipped.append(key)
+                continue
             if v.shape != payload.shape:
                 raise ValueError(
                     f"edit for '{key}' has shape {v.shape}, model expects "

@@ -98,6 +98,7 @@ class SocketFrontend:
         self._sock = _ThreadingUnixServer(socket_path, _Handler)
         self._sock.frontend = self  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
+        self._loop_entered = False
 
     def handle_request(self, msg: dict) -> dict:
         cmd = msg.get("cmd")
@@ -127,16 +128,23 @@ class SocketFrontend:
 
     def serve_forever(self) -> None:
         logger.info("serving on %s", self.socket_path)
+        self._loop_entered = True
         self._sock.serve_forever()
 
     def start_background(self) -> "SocketFrontend":
+        self._loop_entered = True
         self._thread = threading.Thread(target=self._sock.serve_forever,
                                         daemon=True, name="uce-socket")
         self._thread.start()
         return self
 
     def close(self) -> None:
-        self._sock.shutdown()
+        # BaseServer.shutdown() waits on an event that only serve_forever
+        # sets on exit; calling it when the loop never ran would block
+        # forever (e.g. an exception between construction and
+        # serve_forever reaching a finally-close).
+        if self._loop_entered:
+            self._sock.shutdown()
         self._sock.server_close()
         if self._thread is not None:
             self._thread.join(timeout=30)
