@@ -243,3 +243,32 @@ def test_staged_w8_close_to_eager(tmp_path_factory):
         tp["caption_projection"]["llama"]["weight"])
     diff = np.abs(ref.astype(int) - got.astype(int))
     assert diff.mean() < 8, diff.mean()
+
+
+def test_generate_hidream_cli_staged_w8(tmp_path_factory, tmp_path):
+    """The generate-hidream CLI --staged --quantize w8 path end-to-end:
+    encode all cases (CFG uncond rows first), free encoders, lazy-load
+    the quantized MoE DiT, write {case}_{num}.png."""
+    import os
+    import sys
+
+    from tests.snapshot import make_hidream_snapshot
+    from uce_tpu.cli.main import main as cli_main
+
+    root = make_hidream_snapshot(tmp_path_factory.mktemp("hd_snap_cli"))
+    csv = tmp_path / "p.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n"
+                   "0,a cat,7\n1,a dog,9\n")
+    argv = sys.argv
+    sys.argv = ["uce", "generate-hidream", "--model_name", str(root),
+                "--prompts_path", str(csv),
+                "--save_path", str(tmp_path / "out"),
+                "--staged", "--quantize", "w8",
+                "--num_inference_steps", "1", "--image_size", "16",
+                "--num_samples", "2", "--guidance_scale", "5.0"]
+    try:
+        assert cli_main() == 0
+    finally:
+        sys.argv = argv
+    written = sorted(os.listdir(tmp_path / "out" / "original"))
+    assert written == ["0_0.png", "0_1.png", "1_0.png", "1_1.png"]
