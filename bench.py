@@ -9,6 +9,17 @@ Runs on real-shape random weights (no model download; throughput is
 value-independent). A secondary line on stderr reports the 100-concept
 edit wall-clock against its <1 s target.
 
+Tunnel resilience: the default invocation is a PARENT process that never
+imports jax. It probes the TPU backend in bounded subprocesses with
+backoff (the axon tunnel goes down and comes back — a hung backend init
+has been observed blocking 45+ min, so in-process retry is not safe),
+then runs the measurement as a ``--_worker`` subprocess with a hard
+per-attempt timeout, retrying on failure until ``UCE_BENCH_DEADLINE_S``
+(default 7200 s) is exhausted. On terminal failure it still prints the
+single parseable JSON line, with an ``"error"`` field instead of a
+silent traceback (round-2 lesson: BENCH_r02.json captured rc=1 and no
+number because a dead tunnel raised at first device contact).
+
 Usage: python bench.py [--tiny] [--batch N] [--steps N]
 """
 
@@ -320,8 +331,86 @@ def _enable_compile_cache() -> None:
         print("compile cache unavailable; cold compiles", file=sys.stderr)
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """True if a fresh subprocess can see TPU (or any) devices in time."""
+    import os
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+            env=dict(os.environ))
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _error_result(metric: str, msg: str) -> dict:
+    return {"metric": metric, "value": None, "unit": "img/s",
+            "vs_baseline": None, "error": msg}
+
+
+def _orchestrate(argv: list) -> int:
+    """Parent mode: never imports jax; retries worker attempts until a
+    JSON result lands or the deadline runs out."""
+    import os
+    import subprocess
+
+    deadline_s = float(os.environ.get("UCE_BENCH_DEADLINE_S", "7200"))
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return deadline_s - (time.monotonic() - t_start)
+
+    tiny = "--tiny" in argv
+    metric = "tiny_smoke_img_per_s" if tiny else "sd14_512_50step_img_per_s"
+    last_err = "no attempt made"
+    probe_backoff = 60.0
+    attempt = 0
+    while remaining() > 60:
+        # Cheap bounded probe first: a dead tunnel hangs backend init for
+        # 45+ min, which would eat the whole deadline inside one worker.
+        if not tiny:
+            if not _probe_backend(min(420.0, remaining())):
+                last_err = "TPU backend probe timed out/failed"
+                print(f"bench: backend probe failed; retrying in "
+                      f"{probe_backoff:.0f}s ({remaining():.0f}s left)",
+                      file=sys.stderr)
+                time.sleep(min(probe_backoff, max(0.0, remaining())))
+                probe_backoff = min(probe_backoff * 2, 600.0)
+                continue
+            probe_backoff = 60.0
+        attempt += 1
+        per_attempt = min(3900.0, max(60.0, remaining()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_worker"]
+                + argv,
+                timeout=per_attempt, stdout=subprocess.PIPE,
+                stderr=None, text=True, env=dict(os.environ))
+        except subprocess.TimeoutExpired:
+            last_err = f"worker attempt {attempt} timed out ({per_attempt:.0f}s)"
+            print("bench: " + last_err, file=sys.stderr)
+            continue
+        json_lines = [ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("{")]
+        if proc.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        last_err = (f"worker attempt {attempt} rc={proc.returncode}; "
+                    f"stdout tail: {proc.stdout[-300:]!r}")
+        print("bench: " + last_err, file=sys.stderr)
+        time.sleep(min(30.0, max(0.0, remaining())))
+    print(json.dumps(_error_result(metric, last_err)))
+    return 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--_worker", action="store_true",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test mode (tiny model, CPU-friendly)")
     ap.add_argument("--batch", type=int, default=8)  # measured sweet spot
@@ -341,6 +430,8 @@ def main() -> int:
                     help="W8A8 int8 deployment mode (2x MXU rate on v5e); "
                          "the headline metric stays bf16")
     args = ap.parse_args()
+    if not args._worker:
+        return _orchestrate(sys.argv[1:])
     _enable_compile_cache()
 
     if args.breakdown:
@@ -355,7 +446,7 @@ def main() -> int:
         for abl in ("", "attn", "gn", "ln", "attn,gn,ln"):
             env = dict(os.environ, UCE_ABLATE=abl)
             proc = subprocess.run(
-                [sys.executable, __file__, "--skip_edit",
+                [sys.executable, __file__, "--_worker", "--skip_edit",
                  "--batch", str(args.batch), "--steps", str(steps)]
                 + (["--tiny"] if args.tiny else [])
                 + (["--quantize"] if args.quantize else []),

@@ -107,11 +107,18 @@ def test_parity_with_projection():
 
 def test_from_hf_sparse_composite_config():
     """Composite CLIP checkpoints (openai/clip-vit-base-patch32) nest
-    text_config as a diff-from-default dict; absent keys must fall back to
-    the transformers CLIPTextConfig defaults, not KeyError."""
+    text_config as a diff-from-default dict; with diff_defaults=True
+    absent keys must fall back to the transformers CLIPTextConfig
+    defaults, not KeyError. WITHOUT the flag (standalone snapshot
+    configs, fully serialized) a truncated config must raise instead of
+    silently building a wrong-shaped model."""
     sparse = {"bos_token_id": 0, "eos_token_id": 2, "dropout": 0.0,
               "model_type": "clip_text_model"}
-    cfg = clip_text.CLIPTextConfig.from_hf(sparse)
+    import pytest
+
+    with pytest.raises(KeyError):
+        clip_text.CLIPTextConfig.from_hf(sparse)
+    cfg = clip_text.CLIPTextConfig.from_hf(sparse, diff_defaults=True)
     hf = transformers.CLIPTextConfig()  # the defaults the diff is against
     assert cfg.vocab_size == hf.vocab_size
     assert cfg.hidden_size == hf.hidden_size

@@ -64,7 +64,13 @@ def _cmd(args) -> int:
     if args.staged:
         # phase 1: encode every case's prompts, then free the encoders so
         # the DiT loads into the vacated HBM (phase 2, on first generate)
-        embeds = [pipe.encode_prompts([str(row.prompt)] * args.num_samples)
+        # Pull each case's embeddings to HOST so a large prompts CSV
+        # cannot accumulate device residency next to the 12B DiT; they
+        # re-upload per case at generate time.
+        import jax
+
+        embeds = [jax.device_get(
+                      pipe.encode_prompts([str(row.prompt)] * args.num_samples))
                   for row in rows]
         pipe.free_encoders()
 

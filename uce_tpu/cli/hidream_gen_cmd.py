@@ -82,7 +82,16 @@ def _cmd(args) -> int:
                     jnp.concatenate([ll_u, ll_c], axis=1),
                     jnp.concatenate([p_u, p_c], axis=0))
 
-        embeds = [_encode_case(str(row.prompt)) for row in rows]
+        # Embeddings live on HOST between phases: each HiDream case holds
+        # multi-layer Llama hidden states (num_llama_layers x samples x
+        # seq x 4096 bf16, x2 under CFG — tens of MB), so keeping every
+        # case resident would OOM the 16 GB chip next to the DiT, the
+        # exact scenario --staged exists for. They re-upload per case at
+        # generate time (implicit transfer into the jitted step).
+        import jax
+
+        embeds = [jax.device_get(_encode_case(str(row.prompt)))
+                  for row in rows]
         pipe.free_encoders()
 
     n = 0

@@ -201,7 +201,8 @@ class CLIPModel:
         cfg = load_json(os.path.join(model_dir, "config.json"))
         tcfg = clip_text.CLIPTextConfig.from_hf(
             dict(cfg["text_config"],
-                 projection_dim=cfg.get("projection_dim", 512)))
+                 projection_dim=cfg.get("projection_dim", 512)),
+            diff_defaults=True)
         vcfg = CLIPVisionConfig.from_hf(
             dict(cfg["vision_config"],
                  projection_dim=cfg.get("projection_dim", 512)))

@@ -38,24 +38,40 @@ class CLIPTextConfig:
     eos_token_id: int | None = 49407
 
     @classmethod
-    def from_hf(cls, cfg: Mapping) -> "CLIPTextConfig":
+    def from_hf(cls, cfg: Mapping, *,
+                diff_defaults: bool = False) -> "CLIPTextConfig":
         # Composite CLIP checkpoints (openai/clip-vit-base-patch32) nest
         # text_config as a diff-from-default dict (old transformers
         # to_diff_dict), so absent keys mean the transformers
-        # CLIPTextConfig DEFAULTS (hidden 512, 8 heads, ...) — not this
-        # dataclass's SD1.4 defaults. Standalone text_encoder configs
-        # (SD/SDXL snapshots) are fully serialized and unaffected.
+        # CLIPTextConfig DEFAULTS (hidden 512, 8 heads, ...) — those
+        # callers pass ``diff_defaults=True``. Standalone text_encoder
+        # configs (SD/SDXL snapshots) are fully serialized, so structural
+        # keys stay REQUIRED there: silently defaulting a truncated or
+        # corrupt config would build a wrong-shaped model and surface only
+        # as a distant weight-shape mismatch (or never, on random init).
+        if diff_defaults:
+            structural = dict(
+                vocab_size=cfg.get("vocab_size", 49408),
+                hidden_size=cfg.get("hidden_size", 512),
+                num_hidden_layers=cfg.get("num_hidden_layers", 12),
+                num_attention_heads=cfg.get("num_attention_heads", 8),
+                intermediate_size=cfg.get("intermediate_size", 2048),
+            )
+        else:
+            structural = dict(
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["hidden_size"],
+                num_hidden_layers=cfg["num_hidden_layers"],
+                num_attention_heads=cfg["num_attention_heads"],
+                intermediate_size=cfg["intermediate_size"],
+            )
         return cls(
             eos_token_id=cfg.get("eos_token_id", 49407),
-            vocab_size=cfg.get("vocab_size", 49408),
-            hidden_size=cfg.get("hidden_size", 512),
-            num_hidden_layers=cfg.get("num_hidden_layers", 12),
-            num_attention_heads=cfg.get("num_attention_heads", 8),
-            intermediate_size=cfg.get("intermediate_size", 2048),
             max_position_embeddings=cfg.get("max_position_embeddings", 77),
             hidden_act=cfg.get("hidden_act", "quick_gelu"),
             projection_dim=cfg.get("projection_dim"),
             layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            **structural,
         )
 
 

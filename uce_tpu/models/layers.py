@@ -237,10 +237,13 @@ def layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis, fp32 statistics.
 
     bf16 inputs take the matmul-statistics path (same trick as
-    ``group_norm``): row sums of [x, x^2] via one tiny MXU matmul instead
-    of two fp32 reduce passes, then a single fused scale-shift pass.  The
-    one-pass E[x^2]-mu^2 variance error sits below bf16 input
-    quantization, so the fast path is bf16-only.
+    ``group_norm``): row sums via tiny MXU matmuls instead of fp32 reduce
+    passes, then a single fused scale-shift pass.  The second moment is
+    computed on the row-CENTERED values (x - mu): the one-pass
+    E[x^2]-mu^2 form cancels catastrophically for rows with mu/sigma
+    beyond ~2^12 (variance clamps to eps and the output blows up), and
+    activation ranges are not bounded enough to rule that out.  Centering
+    costs one extra elementwise pass; the matmul reduction is kept.
     """
     if ablated("ln"):
         return x
@@ -249,8 +252,9 @@ def layer_norm(x, scale, bias, eps: float = 1e-5):
         x32 = x.astype(jnp.float32)
         ones = jnp.ones((c, 1), jnp.float32)
         s1 = (x32 @ ones) / c                    # [..., 1] row mean
-        s2 = ((x32 * x32) @ ones) / c            # [..., 1] row E[x^2]
-        inv = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)
+        xc = x32 - s1
+        var = ((xc * xc) @ ones) / c             # [..., 1] centered moment
+        inv = jax.lax.rsqrt(var + eps)
         gamma = scale.astype(jnp.float32) * inv
         beta = bias.astype(jnp.float32) - s1 * gamma
         return (x32 * gamma + beta).astype(x.dtype)

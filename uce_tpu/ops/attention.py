@@ -154,6 +154,7 @@ def dot_product_attention(
     use_sdk = impl == "sdk" or (
         impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
     )
+    kernel_failed = False
     if (use_sdk and not force_xla and mask is None and not causal
             and jax.default_backend() == "tpu"):
         from uce_tpu.ops.pallas import sd_attention as sdk
@@ -163,9 +164,12 @@ def dot_product_attention(
                 return sdk.sd_attention(q, k, v, scale, qk_int8=qk_int8)
             except (ValueError, NotImplementedError, RuntimeError) as exc:
                 _warn_flash_fallback(exc, kernel="sdk")
+                kernel_failed = True
     # flash: padded d->128 Pallas flash kernel — kept for shapes the sdk
-    # kernel's VMEM gate rejects (very long sequences) and as impl='flash'.
-    use_flash = impl == "flash" or (
+    # kernel's VMEM gate rejects (very long sequences), as impl='flash',
+    # and as the degradation path when an explicitly requested sdk kernel
+    # failed at runtime (better than dropping straight to XLA).
+    use_flash = impl == "flash" or kernel_failed or (
         impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
     )
     if (use_flash and not force_xla and mask is None and not causal
@@ -176,7 +180,10 @@ def dot_product_attention(
             # Pallas lowering errors (ValueError/NotImplementedError) and
             # Mosaic compile failures (XlaRuntimeError <: RuntimeError).
             _warn_flash_fallback(exc)
-    if impl in ("flash", "sdk") and not force_xla:
+            kernel_failed = True
+    if impl in ("flash", "sdk") and not force_xla and not kernel_failed:
+        # (kernel_failed calls already warned; a second "not applicable"
+        # notice for the same call would be noise.)
         # The caller explicitly requested a Pallas kernel but the routing
         # constraints (mask/causal semantics the kernels don't implement,
         # or a non-TPU backend) force the XLA path — say so once so a
