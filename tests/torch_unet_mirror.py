@@ -105,13 +105,27 @@ def spatial_transformer(x, ctx, sd, pre, heads, groups, use_linear, depth):
 
 
 @torch.no_grad()
-def unet_forward(sd, sample, t, ctx, config):
-    """sample NCHW, t [B], ctx [B, T, D]. config: the uce_tpu UNetConfig."""
+def unet_forward(sd, sample, t, ctx, config, added_cond=None):
+    """sample NCHW, t [B], ctx [B, T, D]. config: the uce_tpu UNetConfig.
+
+    added_cond (SDXL 'text_time'): dict with torch tensors
+    ``text_embeds`` [B, P] and ``time_ids`` [B, 6] — diffusers
+    UNet2DConditionModel aug_emb path (add_time_proj of flattened
+    time_ids, concat with text_embeds, 2-layer MLP, added to emb).
+    """
     cfg = config
     groups = cfg.norm_num_groups
     temb = timestep_embedding(t, cfg.block_out_channels[0])
     emb = linear(temb, sd, "time_embedding.linear_1")
     emb = linear(F.silu(emb), sd, "time_embedding.linear_2")
+    if cfg.addition_embed_type == "text_time":
+        tid = timestep_embedding(added_cond["time_ids"].reshape(-1),
+                                 cfg.addition_time_embed_dim)
+        tid = tid.reshape(added_cond["time_ids"].shape[0], -1)
+        add = torch.cat([added_cond["text_embeds"], tid], dim=-1)
+        add = linear(add, sd, "add_embedding.linear_1")
+        add = linear(F.silu(add), sd, "add_embedding.linear_2")
+        emb = emb + add
 
     x = conv(sample, sd, "conv_in")
     stack = [x]
