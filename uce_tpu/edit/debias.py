@@ -124,6 +124,48 @@ def make_collapsed_solver(
     return solve_fn
 
 
+def resources_from_pipe(pipe):
+    """SDEditResources derived from a live SDPipeline: edit targets from
+    its UNet params (torch-layout weights), encoders from the pipeline."""
+    from uce_tpu.edit.sd import SDEditResources
+    from uce_tpu.models import sd_targets, unet as unet_mod
+
+    flat = unet_mod.flatten_params(pipe.unet_params)
+    targets = {}
+    for k, v in flat.items():
+        if sd_targets.is_sd_cross_attn_kv(k):
+            targets[k] = np.asarray(v, np.float32).T  # back to torch layout
+    if not targets:
+        # quantized pipelines flatten to '...to_k.weight.w8int' keys
+        # that the target filter never matches — fail here with the
+        # cause, not in the solver's np.concatenate([])
+        raise ValueError(
+            "no cross-attn to_k/to_v edit targets found in the UNet "
+            "params; if the pipeline was quantized "
+            "(quantize_weights), run debias on an unquantized "
+            "pipeline — the solver edits float weights (overlays "
+            "onto a quantized pipeline for GENERATION are fine)")
+    return SDEditResources(
+        targets=targets, text_params=pipe.text_params,
+        text_config=pipe.text_config, tokenizer=pipe.tokenizer,
+        # SDXL: concept embeddings must come from the dual-encoder
+        # concat the UNet is conditioned on
+        text_params_2=pipe.text_params_2,
+        text_config_2=pipe.text_config_2,
+        tokenizer_2=pipe.tokenizer_2,
+        family="sdxl" if pipe.is_sdxl else "sd",
+    )
+
+
+def debias_measure_seeds(edit_concepts: Sequence[str]) -> list:
+    """Stable per-concept generation seeds for the measurement pass
+    (builtin hash() is salted per process, so crc32)."""
+    import zlib
+
+    return [zlib.crc32(f"{ci}:{c}".encode()) % (2 ** 31)
+            for ci, c in enumerate(edit_concepts)]
+
+
 def run_debias(
     pipe,
     clip_model,
@@ -149,38 +191,13 @@ def run_debias(
     resources: optional preloaded ``SDEditResources`` (defaults to the
     pipeline's own encoder + targets derived from its UNet).
     """
-    from uce_tpu.edit.sd import SDEditResources
-    from uce_tpu.models import sd_targets, unet as unet_mod
+    from uce_tpu.models import unet as unet_mod
 
     settings = settings or DebiasSettings()
     start = time.time()
 
     if resources is None:
-        flat = unet_mod.flatten_params(pipe.unet_params)
-        targets = {}
-        for k, v in flat.items():
-            if sd_targets.is_sd_cross_attn_kv(k):
-                targets[k] = np.asarray(v, np.float32).T  # back to torch layout
-        if not targets:
-            # quantized pipelines flatten to '...to_k.weight.w8int' keys
-            # that the target filter never matches — fail here with the
-            # cause, not in the solver's np.concatenate([])
-            raise ValueError(
-                "no cross-attn to_k/to_v edit targets found in the UNet "
-                "params; if the pipeline was quantized "
-                "(quantize_weights), run debias on an unquantized "
-                "pipeline — the solver edits float weights (overlays "
-                "onto a quantized pipeline for GENERATION are fine)")
-        resources = SDEditResources(
-            targets=targets, text_params=pipe.text_params,
-            text_config=pipe.text_config, tokenizer=pipe.tokenizer,
-            # SDXL: concept embeddings must come from the dual-encoder
-            # concat the UNet is conditioned on
-            text_params_2=pipe.text_params_2,
-            text_config_2=pipe.text_config_2,
-            tokenizer_2=pipe.tokenizer_2,
-            family="sdxl" if pipe.is_sdxl else "sd",
-        )
+        resources = resources_from_pipe(pipe)
 
     concepts = (list(edit_concepts) + list(debias_concepts)
                 + list(preserve_concepts))
@@ -200,16 +217,12 @@ def run_debias(
         pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights,
                                                   dtype=pipe.dtype)
         n_img = settings.num_images_per_prompt
-        import zlib
-
-        # stable per-concept seeds (builtin hash() is salted per process)
         images = pipe(
             list(edit_concepts),
             num_inference_steps=settings.num_inference_steps,
             guidance_scale=settings.guidance_scale,
             num_images_per_prompt=n_img,
-            seed=[zlib.crc32(f"{ci}:{c}".encode()) % (2 ** 31)
-                  for ci, c in enumerate(edit_concepts)],
+            seed=debias_measure_seeds(edit_concepts),
             height=image_size, width=image_size,
         )
         pred = np.asarray(clip_model.classify(images, labels))
