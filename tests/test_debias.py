@@ -2,6 +2,8 @@
 deadband semantics, accumulation behavior, and the on-device loop on the
 tiny snapshot."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -223,6 +225,141 @@ def test_closed_loop_converges_at_reachable_setpoint(real_clip_rig, tmp_path):
     assert len(history) == 1  # converged on the first measurement
     assert (tmp_path / "rc.safetensors").exists()
     assert (tmp_path / "telemetry.csv").exists()
+
+
+def test_far_setpoint_tracking_e2e(tmp_path):
+    """THE closed-loop gate (uce_sd_debias.py:95-141,31-32): generate ->
+    CLIP-classify -> re-solve drives the observed attribute ratio from a
+    far ~0.9 start to within max_diff=0.05 of the desired 0.5 in < 30
+    iterations, with NO stubs anywhere in the measure path.
+
+    Random tiny towers have no text<->vision alignment, so the rig builds
+    an *aligned* plant first (the approach VERDICT r2 item 4 prescribes):
+
+    1. Plant: a tiny SD snapshot whose attn2 value/output projections are
+       scaled so conditioning meaningfully steers the image (at the default
+       0.02-std init the cross-attn contribution is ~1e-4 of the residual
+       stream and vanishes under uint8 quantization).
+    2. Alignment: inject the attribute direction at known strengths
+       (guide = c_doctor + a*(c_female - c_male), the exact collapsed-
+       solver path the controller uses) and train the tiny torch CLIP to
+       classify female-vs-male on the generated images, with per-seed
+       thresholds placed so the a=0 population is ~0.9 male. This is the
+       tiny-scale analogue of a real CLIP being aligned with real SD's
+       image manifold.
+    3. Demonstration: run the REAL run_debias loop (real pipeline forward,
+       real JAX CLIP zero-shot classify, real closed-form re-solve) from
+       the biased start and assert it tracks the far setpoint.
+    """
+    import shutil
+
+    import torch
+    import transformers
+    from safetensors.numpy import load_file, save_file
+
+    from tests.helpers import ToyTokenizer
+    from tests.snapshot import make_sd_snapshot
+    from uce_tpu.edit.debias import (debias_measure_seeds, run_debias,
+                                     resources_from_pipe)
+    from uce_tpu.models import clip as clip_mod, clip_text
+    from uce_tpu.models import unet as unet_mod
+    import jax.numpy as jnp
+
+    edit, attrs = ["doctor"], ["female person", "male person"]
+    n_img = 16
+
+    # -- 1. conditioning-responsive plant --------------------------------
+    snap = make_sd_snapshot(tmp_path / "snap")
+    unet_st = os.path.join(snap, "unet", "diffusion_pytorch_model.safetensors")
+    sd_unet = load_file(unet_st)
+    for k in sd_unet:
+        if "attn2.to_v" in k or "attn2.to_out.0" in k:
+            sd_unet[k] = sd_unet[k] * 24.0
+    save_file(sd_unet, unet_st)
+    pipe = SDPipeline.from_pretrained(str(snap), dtype=jnp.float32)
+
+    res = resources_from_pipe(pipe)
+    embeds = res.encode_concepts(edit + attrs)
+    solve_fn = make_collapsed_solver(res.targets, embeds, edit, attrs, [],
+                                     DebiasSettings())
+    seeds = debias_measure_seeds(edit)
+    base_params = pipe.unet_params
+
+    # -- 2. train the aligned tiny CLIP on the injected-attribute sweep --
+    alphas = [-1.5, -1.0, -0.5, 0.0, 0.4, 0.8, 1.2, 1.6, 2.0]
+    thetas = np.linspace(-0.2, 1.6, n_img)  # 2/16 female at a=0 -> 0.875 male
+    gen_kw = dict(num_inference_steps=2, guidance_scale=7.5,
+                  num_images_per_prompt=n_img, seed=seeds,
+                  height=32, width=32)
+    X, Y = [], []
+    for a in alphas:
+        pipe.unet_params = unet_mod.overlay_edits(
+            base_params, solve_fn(np.array([[a, -a]])), dtype=pipe.dtype)
+        imgs = np.asarray(pipe(edit, **gen_kw))
+        X.append(np.asarray(clip_mod.preprocess_images(imgs, 32)))
+        Y.append((a > thetas).astype(np.int64) ^ 1)  # 0=female iff a>theta
+    X = torch.tensor(np.concatenate(X)).permute(0, 3, 1, 2).contiguous()
+    Y = torch.tensor(np.concatenate(Y))
+
+    vcfg_hf = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                   intermediate_size=64, image_size=32, patch_size=8)
+    tcfg_hf = dict(vocab_size=99, hidden_size=24, num_hidden_layers=2,
+                   num_attention_heads=4, intermediate_size=48,
+                   max_position_embeddings=16, bos_token_id=97,
+                   eos_token_id=98)
+    cfg = transformers.CLIPConfig(text_config=tcfg_hf, vision_config=vcfg_hf,
+                                  projection_dim=16)
+    torch.manual_seed(0)
+    model = transformers.CLIPModel(cfg).train()
+    tok = ToyTokenizer()
+    ids_t = torch.tensor(np.asarray(tok(list(attrs), max_length=16)
+                                    ["input_ids"]), dtype=torch.long)
+    opt = torch.optim.Adam(model.parameters(), lr=3e-4)
+    g = torch.Generator().manual_seed(1)
+    for _ in range(400):
+        idx = torch.randperm(X.shape[0], generator=g)[:64]
+        img_emb = model.get_image_features(pixel_values=X[idx])
+        txt_emb = model.get_text_features(input_ids=ids_t)
+        img_emb = img_emb / img_emb.norm(dim=-1, keepdim=True)
+        txt_emb = txt_emb / txt_emb.norm(dim=-1, keepdim=True)
+        logits = model.logit_scale.exp() * img_emb @ txt_emb.T
+        loss = torch.nn.functional.cross_entropy(logits, Y[idx])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    sd = model.eval().state_dict()
+    vcfg = clip_mod.CLIPVisionConfig.from_hf(
+        dict(cfg.vision_config.to_dict(), projection_dim=16))
+    tcfg = clip_text.CLIPTextConfig.from_hf(
+        dict(cfg.text_config.to_dict(), projection_dim=16))
+    clip_model = clip_mod.CLIPModel(
+        vision_params=clip_mod.convert_hf_vision_state_dict(sd, vcfg),
+        vision_config=vcfg,
+        text_params=clip_text.convert_hf_state_dict(
+            {k: v for k, v in sd.items()
+             if k.startswith("text_model.") or k == "text_projection.weight"},
+            tcfg),
+        text_config=tcfg, tokenizer=tok,
+        logit_scale=float(np.exp(sd["logit_scale"].numpy())))
+
+    # -- 3. the real closed loop from the biased start -------------------
+    pipe.unet_params = base_params
+    weights, acc, history = run_debias(
+        pipe, clip_model, edit, attrs,
+        settings=DebiasSettings(desired_ratios=(0.5, 0.5),
+                                num_images_per_prompt=n_img,
+                                num_inference_steps=2, max_iterations=30),
+        hypothesis_template="{}", image_size=32, verbose=False)
+
+    start = history[0]["observed"][0]
+    final = history[-1]["observed"][0]
+    assert start[1] >= 0.8, f"plant not biased at start: {start}"
+    assert len(history) < 30, "never converged within the iteration budget"
+    assert np.abs(history[-1]["ratios"]).max() == 0  # deadband gate
+    assert np.abs(final - 0.5).max() < 0.05 + 1e-12, final
+    # the controller moved in the female direction to get there
+    assert acc[0, 0] > 0 and acc[0, 1] < 0
 
 
 def test_closed_loop_accumulates_toward_far_setpoint(real_clip_rig):
