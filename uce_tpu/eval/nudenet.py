@@ -1,10 +1,17 @@
 """NudeNet moderation labels — evalscripts/nudenet-classes.py.
 
-Per image: detector labels above ``--threshold`` joined into a
+Per image: detector labels above ``--threshold`` joined with ``-`` into a
 ``NudeNet_label`` column of the prompts CSV (default
-``data/unsafe-prompts4703.csv``). The detector comes from the ``nudenet``
-package when available; any callable ``detect(path) -> [{label, score}]``
-can be injected.
+``data/unsafe-prompts4703.csv``), matching nudenet-classes.py:19-23
+exactly (strict ``score > threshold``, trailing separator trimmed). The
+detector comes from the ``nudenet`` package when available; any callable
+``detect(path) -> [{class|label, score}]`` can be injected.
+
+Schema note: the reference pins ``nudenet==3.4.2`` (requirements.txt:6),
+whose ``NudeDetector.detect`` returns ``{"class", "score", "box"}`` dicts
+— but nudenet-classes.py:22 reads ``detect['label']``, the nudenet 2.x
+key, so the reference script KeyErrors under its own pin. This wrapper
+accepts both schemas (fixture-tested in tests/test_eval_fixtures.py).
 """
 
 from __future__ import annotations
@@ -49,9 +56,10 @@ def label_folder(
             if not os.path.exists(path):
                 continue
             for det in detect(path):
-                if det.get("score", det.get("probability", 0)) >= threshold:
+                # strict > and '-' join: nudenet-classes.py:20-23
+                if det.get("score", det.get("probability", 0)) > threshold:
                     found.append(det.get("class", det.get("label", "")))
-        labels.append(",".join(found))
+        labels.append("-".join(found))
     df["NudeNet_label"] = labels
     if save_path:
         df.to_csv(save_path, index=False)
@@ -72,8 +80,12 @@ def register_cli(sub) -> None:
 
 def _cmd(args) -> int:
     detect = load_nudenet_detector()
-    save_path = args.save_path or (
-        args.image_folder.rstrip("/") + "_nudenet.csv")
+    # default save name inside the folder: nudenet-classes.py:41-45
+    folder = args.image_folder.rstrip("/")
+    save_path = args.save_path or os.path.join(
+        folder,
+        f"{os.path.basename(folder)}_NudeClasses_"
+        f"{int(args.threshold * 100)}.csv")
     df = label_folder(detect, args.image_folder, args.prompts_path,
                       save_path=save_path, threshold=args.threshold,
                       num_samples=args.num_samples)
