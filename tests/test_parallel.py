@@ -266,3 +266,110 @@ def test_tensor_parallel_flux_w8_matches_unsharded():
                            mesh_mod.shard_batch(t5, mesh),
                            mesh_mod.shard_batch(pooled, mesh))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------- scaling
+# VERDICT r2 item 6: quantify multi-chip instead of only validating it.
+
+def _tiny_flux():
+    from uce_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig(
+        in_channels=16, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=4,
+        joint_attention_dim=16, pooled_projection_dim=24,
+        guidance_embeds=False, axes_dims_rope=(4, 2, 2))
+    return cfg, flux_mod.init_params(cfg, 0, scale=0.1)
+
+
+def test_tp_per_device_param_bytes_shrink():
+    """The TP layout must actually reduce per-device parameter memory, and
+    the hot (sharded) leaves must shrink by exactly the model-axis size."""
+    from uce_tpu.parallel import analysis
+
+    cfg, params = _tiny_flux()
+    total = analysis.tree_total_bytes(params)
+    per_dev = {}
+    for n_model in (1, 2, 4):
+        mesh = mesh_mod.make_mesh(n_data=8 // n_model, n_model=n_model)
+        sp = mesh_mod.shard_flux_params(params, mesh)
+        per_dev[n_model] = analysis.tree_device_bytes(sp)
+    assert per_dev[1] == total  # replicated layout holds everything
+    assert per_dev[1] > per_dev[2] > per_dev[4]  # memory actually scales
+    assert per_dev[4] >= total / 4  # can't beat perfect sharding
+    # a known hot leaf shards exactly: [L, in, heads*dim] over 'model'
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    sp = mesh_mod.shard_flux_params(params, mesh)
+    w = sp["transformer_blocks"]["attn"]["to_q"]["weight"]
+    assert analysis.leaf_device_bytes(w) * 4 == (
+        w.size * np.dtype(w.dtype).itemsize)
+    # hot coverage: the majority of the BLOCK weights (the part that scales
+    # with depth — at full FLUX size ~98% of the model) is sharded
+    blocks = {k: sp[k] for k in ("transformer_blocks",
+                                 "single_transformer_blocks")}
+    blocks_total = analysis.tree_total_bytes(blocks)
+    blocks_dev = analysis.tree_device_bytes(blocks)
+    assert (blocks_total - blocks_dev) / blocks_total > 0.5
+
+
+def test_tp_step_inserts_collectives_dp_does_not():
+    """Compiled evidence for the comm model: the TP program carries
+    all-reduce/reduce-scatter traffic with a positive byte count; the pure
+    data-parallel program carries none (embarrassingly parallel)."""
+    import jax.numpy as jnp
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import flux as flux_mod
+    from uce_tpu.parallel import analysis
+
+    cfg, params = _tiny_flux()
+    rng = np.random.default_rng(0)
+    B, s_img, s_txt = 8, 16, 8
+    lat = jnp.asarray(rng.standard_normal((B, s_img, 16)), jnp.float32)
+    t5 = jnp.asarray(rng.standard_normal((B, s_txt, 16)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, 24)), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    img_ids = make_img_ids(8, 8)
+    txt_ids = np.zeros((s_txt, 3))
+
+    def fwd(p, lat, t5, pooled):
+        return flux_mod.apply(p, lat, t5, pooled, t, img_ids, txt_ids, cfg)
+
+    stats = {}
+    for name, (n_data, n_model) in {"tp": (4, 2), "dp": (8, 1)}.items():
+        mesh = mesh_mod.make_mesh(n_data=n_data, n_model=n_model)
+        sp = mesh_mod.shard_flux_params(params, mesh)
+        with mesh:
+            compiled = jax.jit(fwd).lower(
+                sp, mesh_mod.shard_batch(lat, mesh),
+                mesh_mod.shard_batch(t5, mesh),
+                mesh_mod.shard_batch(pooled, mesh)).compile()
+        stats[name] = analysis.collective_stats(compiled.as_text())
+    reducing = ("all-reduce", "reduce-scatter", "all-to-all")
+    tp_bytes = sum(v["bytes"] for k, v in stats["tp"].items())
+    tp_reduce = sum(v["count"] for k, v in stats["tp"].items()
+                    if k in reducing)
+    assert tp_reduce >= 1 and tp_bytes > 0, stats["tp"]
+    dp_reduce = sum(v["count"] for k, v in stats["dp"].items()
+                    if k in reducing)
+    assert dp_reduce == 0, stats["dp"]
+
+
+def test_flux_full_tp_speedup_model():
+    """The analytic 'multi-chip territory' numbers are internally sane:
+    near-linear at small n (comm-light), degrading as the all-reduce term
+    grows; a single v5e cannot even hold the model (the reason TP exists)."""
+    from uce_tpu.parallel import analysis
+
+    m = analysis.flux_full_tp_model()
+    assert m.flops_per_step > 50e12  # ~100 TFLOP/step at 1024px
+    # bf16 full FLUX needs >16 GB -> must shard to fit a v5e
+    assert 11.9e9 * 2 > 16e9
+    s2, s4, s8 = m.speedup(2), m.speedup(4), m.speedup(8)
+    assert 1.5 < s2 <= 2.0 and s2 < s4 < s8 < 8.0
+    assert m.comm_fraction(4) < 0.35  # ICI comm stays minority at TP=4
+    # the model is monotone in ring bandwidth
+    import dataclasses
+
+    slow = dataclasses.replace(m, ring_bw=m.ring_bw / 10)
+    assert slow.speedup(4) < s4
