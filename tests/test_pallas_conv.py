@@ -16,12 +16,20 @@ def rng():
 def test_pick_cout_tile_always_divides():
     """The grid writes cout//tc tiles, so a non-divisor tc would leave
     trailing output channels unwritten (regression: the old fallback
-    returned min(cout, 128) for cout=320)."""
-    for cin, cout, hw in ((320, 320, 64), (640, 640, 32), (1280, 1280, 16),
-                          (320, 640, 64), (4, 12, 8)):
+    returned min(cout, 128) for cout=320). Every tile must also be
+    Mosaic-lowerable: the minor block dim is the FULL cout or a multiple
+    of 128 (regression: tc=160 for cout=320 lowered fine in interpret
+    mode but was rejected on the real chip)."""
+    for cin, cout, hw in ((640, 640, 32), (1280, 1280, 16),
+                          (320, 640, 64), (1280, 1280, 8), (4, 12, 8)):
         tc = cp._pick_cout_tile(cin, cout, hw, hw)
         assert tc > 0, (cin, cout, hw)
         assert cout % tc == 0, (cin, cout, hw, tc)
+        assert tc == cout or tc % 128 == 0, (cin, cout, hw, tc)
+    # no Mosaic-valid tile fits -> unsupported, not an invalid tile:
+    # 320@64x64 (the SD top level) has no multiple-of-128 divisor and the
+    # full-cout tile blows scoped VMEM -> XLA fallback
+    assert cp._pick_cout_tile(320, 320, 64, 64) == 0
     # x tile alone over budget -> unsupported, not a wrong answer
     assert cp._pick_cout_tile(4096, 4096, 64, 64) == 0
 

@@ -47,10 +47,14 @@ def _pick_cout_tile(cin: int, cout: int, h: int, w: int,
     under the 16 MB Mosaic limit.
     """
     # Every candidate must DIVIDE cout (the grid covers cout // tc tiles;
-    # a non-divisor would leave trailing channels unwritten), so iterate
-    # cout's divisors largest-first and take the first that fits.
-    for tc in sorted((d for d in range(1, cout + 1) if cout % d == 0),
-                     reverse=True):
+    # a non-divisor would leave trailing channels unwritten) AND satisfy
+    # Mosaic's block-shape rule: the last block dim is either the FULL
+    # array dim or a multiple of 128 (a partial non-lane-aligned tile like
+    # 160/320 is rejected at lowering on real TPUs — interpret mode does
+    # not enforce this, so don't trust CPU tests alone here).
+    candidates = [d for d in range(1, cout + 1)
+                  if cout % d == 0 and (d == cout or d % 128 == 0)]
+    for tc in sorted(candidates, reverse=True):
         weights = 9 * cin * tc * 2
         acc = h * w * tc * 4
         xtile = (h + 2) * (w + 2) * cin * 2
