@@ -220,3 +220,22 @@ def test_frontend_close_before_serve_does_not_hang(pipe, tmp_path):
     frontend.close()  # loop never entered
     assert time.monotonic() - t0 < 5.0
     assert not os.path.exists(sock)
+
+
+def test_loadgen_report(pipe):
+    """The synthetic-load harness produces a coherent report: every
+    request completes, throughput/occupancy/latency are consistent with
+    the server's own stats, and the run is repeatable (seeded arrivals)."""
+    from uce_tpu.serving.loadgen import run_load
+
+    cfg = ServerConfig(batch_size=2, max_wait_ms=30, **CFG)
+    with GenerationServer(pipe, cfg) as srv:
+        rep = run_load(srv, rate_rps=50.0, n_requests=6, seed=0)
+    assert rep.n_requests == 6
+    assert rep.batches >= 3  # 6 requests into batch_size=2
+    assert rep.throughput_rps > 0
+    assert 0 < rep.latency_p50_s <= rep.latency_p95_s
+    assert 0.5 <= rep.occupancy <= 1.0
+    assert rep.batch_seconds_mean > 0
+    js = rep.json()
+    assert js["offered_rps"] == 50.0 and isinstance(js["batches"], int)

@@ -44,6 +44,13 @@ def register_cli(sub) -> None:
                    help="max linger for batch fill once a request arrives")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the warmup batch (first request compiles)")
+    p.add_argument("--bench", type=str, default=None, metavar="RATES",
+                   help="instead of serving a socket, run a synthetic "
+                        "Poisson load at these comma-separated request/s "
+                        "rates (e.g. '0.5,1,2') and print one JSON report "
+                        "line per rate (serving/loadgen.py)")
+    p.add_argument("--bench_requests", type=int, default=24,
+                   help="requests per --bench rate")
     p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
@@ -85,6 +92,19 @@ def _cmd(args) -> int:
         scheduler=args.scheduler, max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
     )
+    if args.bench:
+        import json
+
+        from uce_tpu.serving.loadgen import run_load
+
+        rates = [float(r) for r in args.bench.split(",") if r.strip()]
+        server = GenerationServer(pipe, cfg)
+        with server:
+            for rate in rates:
+                report = run_load(server, rate, args.bench_requests)
+                print(json.dumps(report.json()), flush=True)
+        return 0
+
     # Bind the socket BEFORE the warmup compile: an occupied socket path
     # fails in milliseconds instead of after minutes of XLA compilation,
     # and clients can queue on the endpoint while warmup runs.
