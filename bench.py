@@ -488,12 +488,20 @@ def main() -> int:
         print(f"flux-schnell 512x512 4-step half-depth DiT: "
               f"{flux_img_s:.3f} img/s (secondary; ~/2 for full depth; "
               "excludes T5/VAE)", file=sys.stderr)
+        print(json.dumps({"metric": "flux_halfdepth_img_per_s",
+                          "value": round(flux_img_s, 4),
+                          "unit": "img/s", "secondary": True}),
+              file=sys.stderr)
 
     if args.flux_w8:
         flux_w8_img_s = bench_flux(w8=True)
         print(f"flux-schnell 512x512 4-step FULL-DEPTH w8 DiT "
               f"(12 B params, weight-only int8, one chip): "
               f"{flux_w8_img_s:.3f} img/s (secondary; excludes T5/VAE)",
+              file=sys.stderr)
+        print(json.dumps({"metric": "flux_fulldepth_w8_img_per_s",
+                          "value": round(flux_w8_img_s, 4),
+                          "unit": "img/s", "secondary": True}),
               file=sys.stderr)
 
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
