@@ -351,10 +351,14 @@ def _probe_backend(timeout_s: float) -> bool:
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(len(jax.devices()))"],
+             "import jax; jax.devices(); print(jax.default_backend())"],
             timeout=timeout_s, capture_output=True, text=True,
             env=dict(os.environ))
-        return proc.returncode == 0
+        # a dead tunnel can fall back to the CPU platform, which would
+        # "pass" the probe and then burn a full worker timeout on a
+        # 512px 50-step CPU run — require the real TPU backend
+        return proc.returncode == 0 and \
+            proc.stdout.strip().split("\n")[-1] in ("tpu", "axon")
     except subprocess.TimeoutExpired:
         return False
 
@@ -378,6 +382,10 @@ def _orchestrate(argv: list) -> int:
 
     tiny = "--tiny" in argv
     metric = "tiny_smoke_img_per_s" if tiny else "sd14_512_50step_img_per_s"
+    if "--quantize" in argv:
+        metric += "_w8a8"  # keep error records keyed like success records
+    if "--breakdown" in argv:
+        metric = "per_step_breakdown_ms"
     last_err = "no attempt made"
     probe_backoff = 60.0
     attempt = 0
@@ -395,7 +403,10 @@ def _orchestrate(argv: list) -> int:
                 continue
             probe_backoff = 60.0
         attempt += 1
-        per_attempt = min(3900.0, max(60.0, remaining()))
+        # --breakdown runs 5 full benches inside one worker; give it the
+        # whole remaining deadline instead of the single-bench cap
+        cap = 7200.0 if "--breakdown" in argv else 3900.0
+        per_attempt = min(cap, max(60.0, remaining()))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker"]
@@ -487,6 +498,19 @@ def main() -> int:
                   file=sys.stderr)
         rest = results["attn,gn,ln"] / steps * 1000
         print(f"  convs+rest   {rest:6.1f} ms (residual)", file=sys.stderr)
+        # one stdout JSON line so the parent orchestrator (which gates on
+        # a parseable '{' line) recognizes the breakdown as a success
+        print(json_mod.dumps({
+            "metric": "per_step_breakdown_ms",
+            "value": round(per_step, 3),
+            "unit": "ms/step",
+            "parts": {
+                "attention": round((full - results["attn"]) / steps * 1e3, 3),
+                "group_norms": round((full - results["gn"]) / steps * 1e3, 3),
+                "layer_norms": round((full - results["ln"]) / steps * 1e3, 3),
+                "convs_rest": round(rest, 3),
+            },
+        }))
         return 0
 
     if not args.skip_edit:

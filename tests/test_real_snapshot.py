@@ -101,10 +101,13 @@ def run_smoke(snapshot: str, out_dir: str, image_size: int = 512,
         for name, img in (("base", base_img), ("edited", edit_img)):
             pred = clip_model.classify(img[None], attrs)
             probs[name] = int(np.asarray(pred)[0])
-        # the erased model should no longer be the clear Van Gogh winner
+        # the erased model must no longer win the Van Gogh label (index 0);
+        # requiring edited == 1 (not edited >= base) keeps an ineffective
+        # edit (base 0, edited 0) from sailing through the gate
         evidence["clip_pred"] = probs
-        assert probs["edited"] >= probs["base"], (
-            "CLIP still ranks the edited image MORE Van Gogh than the base"
+        assert probs["edited"] == 1, (
+            "CLIP still classifies the edited image as Van Gogh "
+            f"(base={probs['base']}, edited={probs['edited']})"
         )
     return evidence
 

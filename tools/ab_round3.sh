@@ -27,12 +27,15 @@ run conv_pallas     env UCE_CONV_IMPL=pallas
 run gn_conv         env UCE_GN_STATS=reduce UCE_CONV_IMPL=pallas
 
 # Secondary metrics for the bench artifact (VERDICT item 5).
-if [ ! -s .ab/flux_w8.json ]; then
+# Same skip guard as run(): a terminal-failure record ({"value": null,
+# "error": ...}) must NOT suppress the retry on the next invocation.
+if ! grep -q '"value": [0-9]' .ab/flux_w8.json 2>/dev/null; then
   echo "=== flux_w8 start $(date -u +%H:%M:%S) ==="
   echo "MEASURING" > .ab/ACTIVE
   env UCE_BENCH_DEADLINE_S=10000 python bench.py --skip_edit --flux --flux_w8 \
     > .ab/flux_w8.json 2> .ab/flux_w8.err
+  rc=$?
   rm -f .ab/ACTIVE
-  echo "=== flux_w8 done: rc=$? ==="
+  echo "=== flux_w8 done: rc=${rc} ==="
 fi
 echo "ALL DONE $(date -u +%H:%M:%S)"

@@ -106,7 +106,9 @@ def build_sd14_pipeline(tiny: bool = False):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rates", type=str, default="0.3,0.9,1.5",
-                    help="comma-separated offered request/s rates")
+                    help="comma-separated offered request/s rates; a "
+                         "'rate@waitms' entry overrides --max_wait_ms "
+                         "for that run (e.g. '0.3@100' = latency mode)")
     ap.add_argument("--requests", type=int, default=24,
                     help="requests per rate")
     ap.add_argument("--batch", type=int, default=8,
@@ -140,14 +142,26 @@ def main() -> int:
         guidance_scale=7.5, height=args.size, width=args.size,
         max_wait_ms=args.max_wait_ms, warmup=True,
     )
+    runs = []
+    for entry in (r.strip() for r in args.rates.split(",") if r.strip()):
+        rate, _, wait = entry.partition("@")
+        runs.append((float(rate),
+                     float(wait) if wait else args.max_wait_ms))
+
     t0 = time.time()
     server = GenerationServer(pipe, cfg)
     with server:
         print(f"warmup (compile + first batch): {time.time() - t0:.1f}s",
               file=sys.stderr)
-        for rate in (float(r) for r in args.rates.split(",") if r.strip()):
+        import dataclasses as _dc
+        for rate, wait_ms in runs:
+            # ServerConfig is frozen; swapping the config only changes the
+            # batching POLICY (max_wait), never the compiled signature
+            server.config = _dc.replace(server.config, max_wait_ms=wait_ms)
             report = run_load(server, rate, args.requests)
-            print(json.dumps(report.json()), flush=True)
+            line = report.json()
+            line["max_wait_ms"] = wait_ms
+            print(json.dumps(line), flush=True)
     return 0
 
 

@@ -77,8 +77,12 @@ def collective_stats(hlo_text: str) -> dict:
             "|".join(_COLLECTIVES) + r")(-start|-done)?\b", line)
         if not m:
             continue
-        if m.group(4) == "-done":
-            continue  # counted at -start (async pair would double-count)
+        if m.group(4) == "-start":
+            # async pairs are counted at -done: the -start op's output
+            # tuple carries the operand alias NEXT TO the result, so
+            # summing its elements would overcount; the -done output is
+            # exactly the result every participant holds
+            continue
         out = m.group(1)
         nbytes = sum(_shape_bytes(d, dims)
                      for d, dims in _SHAPE_RE.findall(out))

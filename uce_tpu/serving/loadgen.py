@@ -61,7 +61,14 @@ def run_load(server, rate_rps: float, n_requests: int, seed: int = 0,
         def cb(_future):
             with lock:
                 done_at[i] = time.monotonic()
+                _check_complete()
         return cb
+
+    all_marked = threading.Event()
+
+    def _check_complete():
+        if all(d is not None for d in done_at):
+            all_marked.set()
 
     futures = []
     t_start = time.monotonic()
@@ -77,6 +84,13 @@ def run_load(server, rate_rps: float, n_requests: int, seed: int = 0,
         futures.append(fut)
     for fut in futures:
         fut.result()  # propagate any server-side failure
+    # Future.set_result wakes result() waiters BEFORE running done
+    # callbacks, so the last _mark_done may not have stored its timestamp
+    # yet — wait for every callback, not just every result
+    with lock:
+        _check_complete()
+    if not all_marked.wait(timeout=30.0):
+        raise RuntimeError("done-callbacks did not all fire")
 
     with lock:
         lat = np.asarray([d - s for d, s in zip(done_at, submitted_at)])
