@@ -190,6 +190,59 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     return batch / sec_per_run
 
 
+class _Spec:  # sentinel leaf: (shape, fill value, dtype)
+    def __init__(self, shape, val, dtype):
+        self.shape, self.val, self.dtype = shape, val, dtype
+
+
+def _device_fill_params(proto: dict, depth_for) -> dict:
+    """Build a full-size DiT parameter tree ON DEVICE from a 1-layer proto.
+
+    The host->device tunnel moves ~30 MB/s and a host init materializes
+    many GB of fp32, so neither is benchable. TPU matmul/softmax timing is
+    value-independent, so constant fills preserve the measurement while
+    skipping host RNG, the host materialization, and per-shape
+    eager-compile round-trips: take the shape tree of a 1-block config,
+    widen the scan-stacked leading axes to the benched depth, and run ONE
+    jitted fill program on the chip.
+
+    ``depth_for(top_key, path, leaf) -> int | None``: the widened leading
+    axis for this leaf (None = keep the proto shape). Fill values: 1.0
+    for norm-scale-like leaves (1-D once the layer axis is counted out),
+    0.0 elsewhere — they only need to keep the arithmetic finite. int8
+    payloads and f32 quantization scales keep their dtypes; float leaves
+    run bf16.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _respec(top, tree):
+        def spec(path, l):
+            depth = depth_for(top, path, l)
+            eff_ndim = l.ndim - (1 if depth else 0)
+            last = getattr(path[-1], "key", None) if path else None
+            if l.dtype == jnp.int8:        # w8 payload
+                dtype, val = jnp.int8, 0
+            elif last == "scale":          # w8 per-channel scale: f32
+                dtype, val = jnp.float32, 1.0
+            else:                          # float params run bf16
+                dtype, val = jnp.bfloat16, 1.0 if eff_ndim == 1 else 0.0
+            return _Spec((depth,) + l.shape[1:] if depth else l.shape,
+                         val, dtype)
+
+        return jax.tree_util.tree_map_with_path(spec, tree)
+
+    spec_tree = {k: _respec(k, v) for k, v in proto.items()}
+    specs, treedef = jax.tree.flatten(
+        spec_tree, is_leaf=lambda x: isinstance(x, _Spec))
+
+    @jax.jit
+    def _fill():
+        return [jnp.full(s.shape, s.val, s.dtype) for s in specs]
+
+    return jax.tree.unflatten(treedef, _fill())
+
+
 def bench_flux(batch: int = 4, w8: bool = False,
                _tiny: bool = False) -> float:
     """FLUX-schnell protocol (reference: inference_flux.ipynb cell 4 —
@@ -228,13 +281,8 @@ def bench_flux(batch: int = 4, w8: bool = False,
                   if w8 else
                   flux_mod.FluxConfig(num_layers=9, num_single_layers=19,
                                       **base))
-    # Initialize on DEVICE: the host->device tunnel moves ~30 MB/s and a
-    # host init materializes ~13 GB fp32, so neither is benchable.
-    # (TPU matmul/softmax timing is value-independent, so constant fills
-    # preserve the measurement while skipping host RNG, a 13 GB host
-    # materialization, and per-shape eager-compile round-trips: build
-    # the shape tree from a 1-block config, replicate the repeated
-    # block subtrees, then run ONE jitted fill program on the chip.)
+    # Initialize on DEVICE from a 1-layer proto (_device_fill_params):
+    # a host init would materialize ~13 GB fp32 behind a ~30 MB/s tunnel.
     small = flux_mod.FluxConfig(num_layers=1, num_single_layers=1, **base)
     proto = flux_mod.init_params(small, 0, 0.02)
     if w8:
@@ -243,46 +291,11 @@ def bench_flux(batch: int = 4, w8: bool = False,
         proto = quantize_mod.quantize_params(
             proto, quantize_mod.FLUX_SKIP, mode="w8")
 
-    class _Spec:  # sentinel leaf: (shape, fill value, dtype)
-        def __init__(self, shape, val, dtype):
-            self.shape, self.val, self.dtype = shape, val, dtype
-
-    def _respec(tree, depth):
-        # block params are scan-stacked with a leading layer axis —
-        # widen it from the 1-layer proto to the benched depth
-        # fill: 1.0 for norm scales (1-D leaves, or [1, d] once the layer
-        # axis is counted out on stacked block leaves), 0.0 elsewhere —
-        # the values only need to keep the arithmetic finite, not
-        # realistic. int8 payloads and f32 quantization scales keep their
-        # dtypes; float leaves stay bf16.
-        def spec(path, l):
-            eff_ndim = l.ndim - (1 if depth else 0)
-            last = getattr(path[-1], "key", None) if path else None
-            if l.dtype == jnp.int8:        # w8 payload
-                dtype, val = jnp.int8, 0
-            elif last == "scale":          # w8 per-channel scale: f32
-                dtype, val = jnp.float32, 1.0
-            else:                          # float params run bf16
-                dtype, val = jnp.bfloat16, 1.0 if eff_ndim == 1 else 0.0
-            return _Spec((depth,) + l.shape[1:] if depth else l.shape,
-                         val, dtype)
-
-        return jax.tree_util.tree_map_with_path(spec, tree)
-
-    spec_tree = {
-        k: _respec(v, {"transformer_blocks": config.num_layers,
-                       "single_transformer_blocks":
-                           config.num_single_layers}.get(k))
-        for k, v in proto.items()}
-    specs, treedef = jax.tree.flatten(
-        spec_tree, is_leaf=lambda x: isinstance(x, _Spec))
-    del proto, spec_tree
-
-    @jax.jit
-    def _fill():
-        return [jnp.full(s.shape, s.val, s.dtype) for s in specs]
-
-    params = jax.tree.unflatten(treedef, _fill())
+    depths = {"transformer_blocks": config.num_layers,
+              "single_transformer_blocks": config.num_single_layers}
+    params = _device_fill_params(
+        proto, lambda top, path, leaf: depths.get(top))
+    del proto
     rng = np.random.default_rng(0)
     if _tiny:
         s_img, s_txt, lat_hw = 16, 8, 8
@@ -318,6 +331,115 @@ def bench_flux(batch: int = 4, w8: bool = False,
     n_runs = 3
     t0 = time.perf_counter()
     outs = [generate(params, lat, t5, pooled) for _ in range(n_runs)]
+    for out in outs:
+        np.asarray(out)
+    sec_per_run = (time.perf_counter() - t0) / n_runs
+    return batch / sec_per_run
+
+
+def bench_hidream(batch: int = 1, _tiny: bool = False) -> float:
+    """HiDream-I1 protocol (50 steps, CFG 5.0, 1024x1024 — the pipeline
+    defaults, diffusion/pipeline_hidream.py:287-296; reference family:
+    uce_hidream_edit.py) on a HALF-DEPTH (8 dual + 16 single block)
+    weight-only-int8 MoE DiT.
+
+    Depth honesty: the full 16+32-block model is ~17 B params — ~17 GB
+    even as int8, beyond one 16 GB v5e — so half depth at w8 (~8.6 GB)
+    is the largest single-chip-honest proxy; scale ~2x for full depth,
+    which is multi-chip TP territory (parallel/mesh.py
+    shard_hidream_params) like full-size bf16 FLUX.
+
+    ``_tiny=True`` is a CPU smoke hook (tests): tiny dims, same code
+    path. Returns images/second (DiT denoise only; excludes the quad
+    text encoders and VAE, as bench_flux excludes T5/VAE).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uce_tpu.diffusion.pipeline_flux import make_img_ids
+    from uce_tpu.models import hidream as hidream_mod
+    from uce_tpu.models import quantize as quantize_mod
+
+    if _tiny:
+        base = dict(in_channels=4, out_channels=4, attention_head_dim=8,
+                    num_attention_heads=2, caption_channels=(32, 32),
+                    text_emb_dim=24, axes_dims_rope=(4, 2, 2),
+                    ffn_multiple_of=8)
+        config = hidream_mod.HiDreamConfig(num_layers=2,
+                                           num_single_layers=2, **base)
+        s_t5 = s_ll = 8
+        lat_hw = 8
+    else:
+        base = {}
+        config = hidream_mod.HiDreamConfig(num_layers=8,
+                                           num_single_layers=16, **base)
+        s_t5 = s_ll = 128   # reference truncation: uce_hidream_edit.py:220
+        lat_hw = 128        # 1024px -> 128x128 latents -> 64x64 patches
+
+    small = hidream_mod.HiDreamConfig(num_layers=1, num_single_layers=1,
+                                      **base)
+    proto = hidream_mod.init_params(small, 0, 0.02)
+    proto = quantize_mod.quantize_params(
+        proto, quantize_mod.HIDREAM_SKIP, mode="w8")
+
+    n_blocks = config.num_layers + config.num_single_layers
+    depths = {"double_stream_blocks": config.num_layers,
+              "single_stream_blocks": config.num_single_layers}
+
+    def depth_for(top, path, leaf):
+        if top in depths:
+            return depths[top]
+        if top == "caption_projection":
+            # llama projections are stacked [n_blocks, 4096, D]; the
+            # final T5 projection is a plain [4096, D] leaf
+            if any(getattr(p, "key", None) == "llama" for p in path):
+                return n_blocks
+        return None
+
+    params = _device_fill_params(proto, depth_for)
+    del proto
+
+    rng = np.random.default_rng(0)
+    s_img = (lat_hw // config.patch_size) ** 2
+    feat = config.in_channels * config.patch_size ** 2
+    # CFG 5.0 > 1 -> uncond+cond stacked on the batch axis (2x batch),
+    # exactly like the pipeline's compiled step
+    x = jnp.asarray(rng.standard_normal((batch, s_img, feat)), jnp.bfloat16)
+    t5 = jnp.asarray(
+        rng.standard_normal((2 * batch, s_t5, config.caption_channels[0]))
+        * 0.1, jnp.bfloat16)
+    llama = jnp.asarray(
+        rng.standard_normal(
+            (n_blocks, 2 * batch, s_ll, config.caption_channels[1])) * 0.1,
+        jnp.bfloat16)
+    pooled = jnp.asarray(
+        rng.standard_normal((2 * batch, config.text_emb_dim)) * 0.1,
+        jnp.bfloat16)
+    img_ids = make_img_ids(lat_hw, lat_hw)
+    n_steps = 2 if _tiny else 50
+    sigmas = jnp.linspace(1.0, 0.0, n_steps + 1)
+
+    @jax.jit
+    def generate(params, x, t5, llama, pooled):
+        def step(z, i):
+            t = jnp.full((2 * batch,), sigmas[i] * 1000.0, jnp.float32)
+            v = hidream_mod.apply(
+                params, jnp.concatenate([z, z], axis=0), t5, llama,
+                pooled, t, img_ids, config)
+            vu, vc = v[:batch], v[batch:]
+            v = vu + 5.0 * (vc - vu)      # CFG combine
+            # pipeline applies noise_pred = -v before the Euler step
+            z = (z - (sigmas[i + 1] - sigmas[i]) * v).astype(z.dtype)
+            return z, None
+
+        z, _ = jax.lax.scan(step, x, jnp.arange(n_steps))
+        return z
+
+    np.asarray(generate(params, x, t5, llama, pooled))  # compile + run 1
+    n_runs = 2
+    t0 = time.perf_counter()
+    outs = [generate(params, x, t5, llama, pooled) for _ in range(n_runs)]
     for out in outs:
         np.asarray(out)
     sec_per_run = (time.perf_counter() - t0) / n_runs
@@ -445,6 +567,10 @@ def main() -> int:
                     help="also time FULL-DEPTH FLUX-schnell with "
                          "weight-only int8 (12 B params on one chip; "
                          "secondary metric, stderr)")
+    ap.add_argument("--hidream_w8", action="store_true",
+                    help="also time the HiDream-I1 protocol (50 steps, "
+                         "CFG 5, 1024px) on a half-depth w8 MoE DiT "
+                         "(secondary metric, stderr)")
     ap.add_argument("--skip_edit", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute per-step cost to op families by "
@@ -537,6 +663,16 @@ def main() -> int:
               file=sys.stderr)
         print(json.dumps({"metric": "flux_fulldepth_w8_img_per_s",
                           "value": round(flux_w8_img_s, 4),
+                          "unit": "img/s", "secondary": True}),
+              file=sys.stderr)
+
+    if args.hidream_w8:
+        hd_img_s = bench_hidream()
+        print(f"hidream-I1 1024x1024 50-step CFG5 half-depth w8 MoE DiT: "
+              f"{hd_img_s:.4f} img/s (secondary; ~/2 for full depth; "
+              "excludes encoders/VAE)", file=sys.stderr)
+        print(json.dumps({"metric": "hidream_halfdepth_w8_img_per_s",
+                          "value": round(hd_img_s, 4),
                           "unit": "img/s", "secondary": True}),
               file=sys.stderr)
 

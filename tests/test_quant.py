@@ -276,6 +276,15 @@ def test_bench_flux_tiny_smoke_both_modes():
     assert bench.bench_flux(batch=1, w8=True, _tiny=True) > 0
 
 
+def test_bench_hidream_tiny_smoke():
+    """bench.py's HiDream half-depth-w8 path (device-fill widening incl.
+    the stacked caption_projection.llama leaf and the [L, E, ...] expert
+    banks, CFG batch doubling, Euler scan) must execute end-to-end."""
+    import bench
+
+    assert bench.bench_hidream(batch=1, _tiny=True) > 0
+
+
 def _tiny_hidream_setup(rng):
     """Shared tiny MoE-DiT config + jitted forward for the quant tests."""
     import jax
