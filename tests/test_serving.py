@@ -36,6 +36,37 @@ def test_serial_requests_and_padding(pipe):
         assert srv.stats.occupancy == pytest.approx(1 / 3)
 
 
+def test_batch_ladder_picks_smallest_fitting_rung(pipe):
+    """With a compiled batch ladder, a lone request runs the batch-1
+    signature (zero padded slots) and a 3-request burst runs the batch-4
+    rung (one pad) — never the top rung for everything."""
+    cfg = ServerConfig(batch_size=4, batch_sizes=(1, 2, 4),
+                       max_wait_ms=500, **CFG)
+    with GenerationServer(pipe, cfg) as srv:
+        assert srv.batch_sizes == (1, 2, 4)
+        img = srv.generate("a cat", seed=7)
+        assert img.shape == (32, 32, 3)
+        assert srv.stats.batches == 1 and srv.stats.padded_slots == 0
+        futures = [srv.submit(p, seed=s)
+                   for p, s in [("a cat", 1), ("a dog", 2), ("a bird", 3)]]
+        imgs = [f.result(timeout=120) for f in futures]
+    assert srv.stats.batches == 2
+    assert srv.stats.padded_slots == 1  # 3 requests -> rung 4
+    assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_batch_ladder_image_matches_single_signature(pipe):
+    """Which rung a request lands on must not change its image."""
+    cfg = dict(max_wait_ms=1, **CFG)
+    with GenerationServer(pipe, ServerConfig(batch_size=3, **cfg)) as srv:
+        via_pad = srv.generate("a cat", seed=7)
+    with GenerationServer(
+            pipe, ServerConfig(batch_size=3, batch_sizes=(1, 3),
+                               **cfg)) as srv:
+        via_rung1 = srv.generate("a cat", seed=7)
+    np.testing.assert_array_equal(via_pad, via_rung1)
+
+
 def test_results_match_direct_pipeline_call(pipe):
     """Padding must not change a request's image: server output equals a
     direct pipeline call at the same (prompt, seed) signature."""

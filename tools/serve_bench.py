@@ -113,6 +113,9 @@ def main() -> int:
                     help="requests per rate")
     ap.add_argument("--batch", type=int, default=8,
                     help="compiled serving batch (requests pad into it)")
+    ap.add_argument("--batch_sizes", type=str, default=None,
+                    help="comma-separated compiled batch LADDER "
+                         "(e.g. '1,2,4,8'; overrides --batch)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--max_wait_ms", type=float, default=2000.0,
@@ -141,6 +144,8 @@ def main() -> int:
         batch_size=args.batch, num_inference_steps=args.steps,
         guidance_scale=7.5, height=args.size, width=args.size,
         max_wait_ms=args.max_wait_ms, warmup=True,
+        batch_sizes=tuple(int(s) for s in args.batch_sizes.split(","))
+        if args.batch_sizes else (),
     )
     runs = []
     for entry in (r.strip() for r in args.rates.split(",") if r.strip()):

@@ -36,6 +36,13 @@ def register_cli(sub) -> None:
                         "(half weight HBM, bf16 arithmetic)")
     p.add_argument("--batch_size", type=int, default=4,
                    help="compiled serving batch (requests pad into it)")
+    p.add_argument("--batch_sizes", type=str, default=None,
+                   help="comma-separated LADDER of compiled batch sizes "
+                        "(e.g. '1,2,4,8'): each gathered batch runs the "
+                        "smallest compiled size that fits, so low-rate "
+                        "traffic avoids paying full-batch device time; "
+                        "warmup compiles every rung (overrides "
+                        "--batch_size)")
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--image_size", type=int, default=512)
@@ -84,6 +91,9 @@ def _cmd(args) -> int:
             pipe.quantize_weights(args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
+    batch_sizes = tuple(
+        int(s) for s in args.batch_sizes.split(",") if s.strip()
+    ) if args.batch_sizes else ()
     cfg = ServerConfig(
         batch_size=args.batch_size,
         num_inference_steps=args.num_inference_steps,
@@ -91,6 +101,7 @@ def _cmd(args) -> int:
         height=args.image_size, width=args.image_size,
         scheduler=args.scheduler, max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
+        batch_sizes=batch_sizes,
     )
     if args.bench:
         import json
@@ -113,7 +124,8 @@ def _cmd(args) -> int:
     try:
         server.start()
         print(f"uce serve: listening on {args.socket} "
-              f"(batch={cfg.batch_size}, {cfg.height}x{cfg.width}, "
+              f"(batches={list(server.batch_sizes)}, "
+              f"{cfg.height}x{cfg.width}, "
               f"steps={cfg.num_inference_steps})", flush=True)
         frontend.serve_forever()
     except KeyboardInterrupt:

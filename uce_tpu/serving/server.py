@@ -40,7 +40,16 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass(frozen=True)
 class ServerConfig:
-    """The single serving signature this server compiles for."""
+    """The serving signature(s) this server compiles for.
+
+    ``batch_sizes`` (optional) is a LADDER of compiled batch signatures:
+    each gathered batch runs the smallest compiled size that fits, so
+    low-rate traffic pays batch-1/2 device time instead of padding into
+    the largest batch (measured on chip: a padded batch-8 costs the full
+    6.6 s regardless of fill — docs/PERF.md "Serving under load").
+    Warmup compiles every rung once; leave it unset for the classic
+    single-signature server.
+    """
 
     batch_size: int = 4
     num_inference_steps: int = 50
@@ -50,6 +59,7 @@ class ServerConfig:
     scheduler: str | None = None
     max_wait_ms: float = 50.0
     warmup: bool = True
+    batch_sizes: tuple = ()  # () -> (batch_size,)
 
 
 @dataclasses.dataclass
@@ -85,6 +95,12 @@ class GenerationServer:
     def __init__(self, pipe, config: ServerConfig = ServerConfig()):
         self.pipe = pipe
         self.config = config
+        # the compiled batch ladder, ascending; _run_batch picks the
+        # smallest rung that fits the gathered requests
+        self.batch_sizes = tuple(sorted(set(
+            config.batch_sizes or (config.batch_size,))))
+        if any(s < 1 for s in self.batch_sizes):
+            raise ValueError("batch sizes must be >= 1")
         self.stats = ServerStats()
         self._queue: queue.Queue[Request | None] = queue.Queue()
         self._thread: threading.Thread | None = None
@@ -121,13 +137,17 @@ class GenerationServer:
                 "this pipeline family takes no scheduler override")
         if self.config.warmup:
             t0 = time.time()
-            self._run_batch([Request(prompt="", seed=0)])
-            logger.info("serving signature warmed in %.1f s "
-                        "(batch=%d %dx%d steps=%d)",
-                        time.time() - t0, self.config.batch_size,
+            # largest rung first: an OOM fails startup before the cheap
+            # signatures waste compile time
+            for size in reversed(self.batch_sizes):
+                self._run_batch(
+                    [Request(prompt="", seed=0) for _ in range(size)])
+            logger.info("serving signature(s) warmed in %.1f s "
+                        "(batches=%s %dx%d steps=%d)",
+                        time.time() - t0, list(self.batch_sizes),
                         self.config.height, self.config.width,
                         self.config.num_inference_steps)
-            # warmup batch does not count toward serving stats
+            # warmup batches do not count toward serving stats
             self.stats = ServerStats()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="uce-batcher")
@@ -191,7 +211,7 @@ class GenerationServer:
             return None
         batch = [first]
         deadline = time.monotonic() + self.config.max_wait_ms / 1000.0
-        while len(batch) < self.config.batch_size:
+        while len(batch) < self.batch_sizes[-1]:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -226,7 +246,9 @@ class GenerationServer:
             return
         cfg = self.config
         n_real = len(batch)
-        n_pad = cfg.batch_size - n_real
+        # smallest compiled rung that fits (gather never exceeds the top)
+        size = next(s for s in self.batch_sizes if s >= n_real)
+        n_pad = size - n_real
         prompts = [r.prompt for r in batch] + [""] * n_pad
         seeds = [r.seed for r in batch] + [0] * n_pad
         negatives = [r.negative_prompt for r in batch] + [""] * n_pad
