@@ -107,7 +107,8 @@ class SocketFrontend:
             return {"status": "ok", "batches": s.batches,
                     "requests": s.requests, "padded_slots": s.padded_slots,
                     "occupancy": s.occupancy,
-                    "total_batch_seconds": s.total_batch_seconds}
+                    "total_batch_seconds": s.total_batch_seconds,
+                    "batch_sizes": list(self.gen_server.batch_sizes)}
         if cmd == "shutdown":
             threading.Thread(target=self._sock.shutdown,
                              daemon=True).start()
