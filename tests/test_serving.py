@@ -253,6 +253,30 @@ def test_frontend_close_before_serve_does_not_hang(pipe, tmp_path):
     assert not os.path.exists(sock)
 
 
+def test_serve_cli_bench_mode_with_ladder(tmp_path, capsys):
+    """'uce serve --bench' end-to-end: builds the pipeline from a
+    snapshot, parses the --batch_sizes ladder, runs the Poisson load, and
+    prints one JSON report line per offered rate."""
+    import json
+
+    from uce_tpu.cli.main import main as cli_main
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+    rc = cli_main([
+        "serve", "--model_id", snap, "--bench", "5",
+        "--bench_requests", "3", "--batch_size", "2",
+        "--batch_sizes", "1,2", "--image_size", "32",
+        "--num_inference_steps", "2", "--max_wait_ms", "30",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1
+    rep = lines[0]
+    assert rep["n_requests"] == 3 and rep["offered_rps"] == 5.0
+    assert rep["batches"] >= 2  # rung 2 can't swallow 3 requests at once
+
+
 def test_loadgen_report(pipe):
     """The synthetic-load harness produces a coherent report: every
     request completes, throughput/occupancy/latency are consistent with
