@@ -56,7 +56,11 @@ def test_batch_ladder_picks_smallest_fitting_rung(pipe):
 
 
 def test_batch_ladder_image_matches_single_signature(pipe):
-    """Which rung a request lands on must not change its image."""
+    """Which rung a request lands on must not change its image beyond
+    compiled-program rounding: rungs are separate XLA programs whose
+    tilings may differ by a few ULPs (which can cross a uint8 rounding
+    boundary on TPU — the ladder's documented determinism caveat), but
+    the (prompt, seed) -> image mapping must be the same computation."""
     cfg = dict(max_wait_ms=1, **CFG)
     with GenerationServer(pipe, ServerConfig(batch_size=3, **cfg)) as srv:
         via_pad = srv.generate("a cat", seed=7)
@@ -64,7 +68,8 @@ def test_batch_ladder_image_matches_single_signature(pipe):
             pipe, ServerConfig(batch_size=3, batch_sizes=(1, 3),
                                **cfg)) as srv:
         via_rung1 = srv.generate("a cat", seed=7)
-    np.testing.assert_array_equal(via_pad, via_rung1)
+    diff = np.abs(via_pad.astype(np.int16) - via_rung1.astype(np.int16))
+    assert diff.max() <= 1, f"rung changed the image (max diff {diff.max()})"
 
 
 def test_results_match_direct_pipeline_call(pipe):

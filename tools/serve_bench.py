@@ -144,7 +144,8 @@ def main() -> int:
         batch_size=args.batch, num_inference_steps=args.steps,
         guidance_scale=7.5, height=args.size, width=args.size,
         max_wait_ms=args.max_wait_ms, warmup=True,
-        batch_sizes=tuple(int(s) for s in args.batch_sizes.split(","))
+        batch_sizes=tuple(int(s) for s in args.batch_sizes.split(",")
+                          if s.strip())
         if args.batch_sizes else (),
     )
     runs = []

@@ -7,17 +7,21 @@ the economics invert: XLA compiles one denoising program per
 compiler), after which the chip serves that shape at steady-state
 throughput. This server is the TPU-idiomatic consequence:
 
-- ONE serving signature, chosen at startup (batch_size x HxW x steps),
-  jit-warmed before the first request is accepted;
-- dynamic batching INTO that static shape: requests queue, a batcher
-  thread gathers up to ``batch_size`` of them (waiting at most
-  ``max_wait_ms`` once the first request of a batch arrives), pads the
-  remainder with empty prompts, runs the compiled program once, and
-  fans results back out. Padding keeps the compiled shape constant —
+- a FIXED SET of serving signatures, chosen at startup and jit-warmed
+  before the first request is accepted: one batch size by default, or a
+  ladder of them (``ServerConfig.batch_sizes``) so sub-saturation
+  traffic runs a small compiled batch instead of padding into the
+  largest one (measured 7.6x p50 win at low rates — docs/PERF.md
+  "Serving under load");
+- dynamic batching INTO those static shapes: requests queue, a batcher
+  thread gathers up to the largest rung (waiting at most
+  ``max_wait_ms`` once the first request of a batch arrives), pads up
+  to the smallest rung that fits, runs that compiled program once, and
+  fans results back out. Padding keeps the compiled shapes constant —
   no recompiles, ever, after warmup;
-- requests that don't fit the serving signature are rejected up front
+- requests that don't fit the serving signatures are rejected up front
   (a TPU server re-specializing per request would spend minutes in the
-  compiler per shape — the caller picks the signature when starting
+  compiler per shape — the caller picks the signatures when starting
   the server).
 
 All JAX work happens on the single batcher thread; submit() is
@@ -49,6 +53,14 @@ class ServerConfig:
     6.6 s regardless of fill — docs/PERF.md "Serving under load").
     Warmup compiles every rung once; leave it unset for the classic
     single-signature server.
+
+    Determinism caveat: with a ladder, the same (prompt, seed) can land
+    on different rungs across arrivals. Rungs are separate XLA programs
+    whose tilings may differ by a few ULPs, which can cross a uint8
+    rounding boundary — so repeated submissions of one request may
+    differ by ±1 level per pixel depending on traffic. The
+    single-signature server (empty ``batch_sizes``) always runs one
+    program and does not have this caveat.
     """
 
     batch_size: int = 4
