@@ -175,12 +175,16 @@ class SDPipeline:
         safety_concept: str | None = None,
         sld_config=None,
         debias_projection: np.ndarray | None = None,
+        fast=None,
     ) -> np.ndarray:
         """Returns uint8 images [N, H, W, 3].
 
         mode: 'cfg' (default), 'concept_algebra' (needs 3
         concepts_to_project), 'sld' (safety_concept + sld_config preset), or
         'debias_vl' (debias_projection P applied to the text embeddings).
+
+        fast: optional ``sampler.FastConfig`` — opt-in beyond-protocol
+        accelerations (CFG interval, DeepCache); cfg/debias_vl modes only.
         """
         from uce_tpu.diffusion import guidance as gmod
 
@@ -252,6 +256,11 @@ class SDPipeline:
         if mode == "sld":
             sld_cfg = sld_config or gmod.SLDConfig()
         eff_mode = "cfg" if mode == "debias_vl" else mode
+        if fast is not None and fast.is_noop:
+            fast = None  # share the exact path's compiled signature
+        if fast is not None and eff_mode != "cfg":
+            raise ValueError(
+                "fast modes support only cfg/debias_vl guidance")
         added_cond = None
         if self.is_sdxl:
             n_branches = {"cfg": 2, "sld": 3, "concept_algebra": 5}[eff_mode]
@@ -259,13 +268,13 @@ class SDPipeline:
                 pooled_cond, pooled_uncond, bsz, height, width, n_branches)
         images = _generate_jit(
             self, plan, latents, context, float(guidance_scale),
-            eff_mode, sld_cfg, added_cond)
+            eff_mode, sld_cfg, added_cond, fast)
         return np.asarray(images)
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
-                       mode, sld_cfg, has_added_cond):
+                       mode, sld_cfg, has_added_cond, fast=None):
     """Build the jitted latents->uint8 function for one static signature."""
     from uce_tpu.diffusion import guidance as gmod
 
@@ -278,7 +287,38 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
                 unet_params, lat_in, t, context, unet_config,
                 added_cond=added_cond if has_added_cond else None)
 
-        if mode == "sld":
+        if fast is not None:
+            bsz = latents.shape[0]
+
+            def model_factory(cond_only, cached, want_deep):
+                ctx = context[bsz:] if cond_only else context
+                ac = None
+                if has_added_cond:
+                    ac = ({k: v[bsz:] for k, v in added_cond.items()}
+                          if cond_only else added_cond)
+                if cached:
+                    def f(lat_in, t, deep):
+                        return unet_mod.apply(
+                            unet_params, lat_in, t, ctx, unet_config,
+                            added_cond=ac, deep_feature=deep,
+                            cache_level=fast.cache_level)
+                    return f
+
+                def f(lat_in, t):
+                    return unet_mod.apply(
+                        unet_params, lat_in, t, ctx, unet_config,
+                        added_cond=ac, return_deep=want_deep,
+                        cache_level=fast.cache_level)
+                return f
+
+            final = sampler.denoise_fast(
+                model_factory, plan, latents,
+                guidance_scale=guidance_scale, fast=fast,
+                deep_shape_fn=lambda b: unet_mod.deep_feature_shape(
+                    unet_config, b, latents.shape[1], latents.shape[2],
+                    fast.cache_level),
+            )
+        elif mode == "sld":
             final = sampler.denoise(
                 model_fn, plan, latents,
                 guidance_fn=lambda e, i, m: gmod.sld_combine(
@@ -309,7 +349,8 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
 
 
 def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
-                  mode: str = "cfg", sld_cfg=None, added_cond=None):
+                  mode: str = "cfg", sld_cfg=None, added_cond=None,
+                  fast=None):
     orig_bsz = latents.shape[0]
     if pipe.mesh is not None:
         # data-parallel fan-out: shard the batch over the mesh 'data' axis;
@@ -346,7 +387,7 @@ def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
         pipe.unet_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (latents.shape, str(latents.dtype)),
-        mode, sld_cfg, added_cond is not None,
+        mode, sld_cfg, added_cond is not None, fast,
     )
     out = fn(pipe.unet_params, pipe.vae_params, plan, latents, context,
              jnp.float32(guidance_scale), added_cond or {})

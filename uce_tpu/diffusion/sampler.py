@@ -9,6 +9,7 @@ table-driven step, jitted once and compiled by XLA with donated latents.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -21,6 +22,46 @@ def cfg_combine(eps_branches: jnp.ndarray, guidance_scale) -> jnp.ndarray:
     """Standard classifier-free guidance over [uncond; cond] stacking."""
     eps_u, eps_c = jnp.split(eps_branches, 2, axis=0)
     return eps_u + guidance_scale * (eps_c - eps_u)
+
+
+@dataclasses.dataclass(frozen=True)
+class FastConfig:
+    """Opt-in inference accelerations BEYOND the reference protocol.
+
+    The reference's eval protocol (50 steps, CFG at every step —
+    ``evalscripts/generate-images-sd.py:58-62``) is what bench.py's
+    headline and all parity tests measure; these modes trade exactness
+    for throughput and are therefore never on by default.
+
+    cfg_interval: ``(lo, hi)`` — run classifier-free guidance only for
+        scheduler calls ``lo <= i < hi``; outside the window only the
+        cond branch runs (half the UNet batch). Guidance confined to a
+        middle interval is quality-NEUTRAL-or-better at same step count
+        (Kynkaanniemi et al. 2024, arXiv:2404.07724). ``None`` = CFG
+        everywhere (reference protocol).
+    cache_interval: DeepCache N (arXiv:2312.00858) — the deep UNet
+        levels run every N-th call and their output feature is reused
+        in between; cached calls execute only the shallow path.
+        1 = no caching (exact).
+    cache_level: how many full-resolution levels stay live on cached
+        calls (see ``models/unet.deep_feature_shape``).
+    """
+
+    cfg_interval: tuple | None = None
+    cache_interval: int = 1
+    cache_level: int = 1
+
+    def __post_init__(self):
+        if self.cache_interval < 1:
+            raise ValueError("cache_interval must be >= 1")
+        if self.cfg_interval is not None:
+            lo, hi = self.cfg_interval
+            if lo < 0 or hi < lo:
+                raise ValueError("cfg_interval must satisfy 0 <= lo <= hi")
+
+    @property
+    def is_noop(self) -> bool:
+        return self.cfg_interval is None and self.cache_interval == 1
 
 
 def denoise(
@@ -69,3 +110,114 @@ def denoise(
         body, (latents, carry0, gstate0), jnp.arange(plan.num_calls)
     )
     return final
+
+
+def denoise_fast(
+    model_factory: Callable[[bool, bool, bool], Callable],
+    plan: Plan,
+    latents: jnp.ndarray,
+    *,
+    guidance_scale,
+    fast: FastConfig,
+    deep_shape_fn: Callable[[int], tuple],
+) -> jnp.ndarray:
+    """Denoising scan with the FastConfig accelerations.
+
+    ``model_factory(cond_only, cached, want_deep)`` returns the model
+    closure for one static variant:
+
+    * ``cached=False, want_deep=False``: ``f(lat_in, t) -> eps``
+    * ``cached=False, want_deep=True``:  ``f(lat_in, t) -> (eps, deep)``
+    * ``cached=True``:                   ``f(lat_in, t, deep) -> eps``
+
+    with ``lat_in`` batched over [uncond; cond] unless ``cond_only``.
+    ``deep_shape_fn(batch)`` gives the deep-feature shape so the scan
+    carry can be initialized without running the model.
+
+    The CFG interval splits the run into up to three statically-shaped
+    scan segments (cond-only at batch B, guided at 2B, cond-only at B);
+    within a segment DeepCache picks full vs shallow per step with
+    ``lax.cond`` on ``i % cache_interval``. The deep cache survives the
+    guided -> cond boundary (slice the cond half); entering a guided
+    segment the uncond half has no cache, so that segment's first step
+    is forced full.
+    """
+    latents = latents * plan.init_noise_sigma
+    hist = plan.init_carry(latents.shape, jnp.float32)
+    bsz = latents.shape[0]
+    total = plan.num_calls
+    n_cache = fast.cache_interval
+    if fast.cfg_interval is None:
+        segs = [(0, total, False)]
+    else:
+        lo = min(max(int(fast.cfg_interval[0]), 0), total)
+        hi = min(max(int(fast.cfg_interval[1]), lo), total)
+        segs = [s for s in ((0, lo, True), (lo, hi, False), (hi, total, True))
+                if s[1] > s[0]]
+
+    lat = latents
+    deep = None
+    for seg_start, seg_end, cond_only in segs:
+        branches = 1 if cond_only else 2
+        if cond_only:
+            def guidance(e):
+                return e
+        else:
+            def guidance(e):
+                return cfg_combine(e, guidance_scale)
+
+        if n_cache == 1:
+            f_full = model_factory(cond_only, False, False)
+
+            def body(carry, i, f_full=f_full, guidance=guidance,
+                     branches=branches):
+                l, h = carry
+                lat_in = (jnp.concatenate([l] * branches, axis=0)
+                          if branches > 1 else l)
+                lat_in = plan.scale_model_input(lat_in, i)
+                # cast chain mirrors denoise() exactly so the no-op
+                # FastConfig reproduces the baseline bit-for-bit
+                eps = guidance(f_full(lat_in, plan.timesteps[i]))
+                eps = eps.astype(l.dtype)
+                new_l, h = plan.step(eps.astype(jnp.float32), i,
+                                     l.astype(jnp.float32), h)
+                return (new_l.astype(l.dtype), h), None
+
+            (lat, hist), _ = jax.lax.scan(
+                body, (lat, hist), jnp.arange(seg_start, seg_end))
+            continue
+
+        dshape = deep_shape_fn(branches * bsz)
+        force_full = None
+        if deep is not None and deep.shape[0] == 2 * bsz and branches == 1:
+            deep = deep[bsz:]  # guided -> cond: keep the cond half's cache
+        elif deep is None or deep.shape != dshape:
+            deep = jnp.zeros(dshape, lat.dtype)
+            force_full = seg_start  # cache invalid until the first full step
+        f_full = model_factory(cond_only, False, True)
+        f_cached = model_factory(cond_only, True, False)
+
+        def body(carry, i, f_full=f_full, f_cached=f_cached,
+                 guidance=guidance, branches=branches, force_full=force_full):
+            l, h, d = carry
+            lat_in = (jnp.concatenate([l] * branches, axis=0)
+                      if branches > 1 else l)
+            lat_in = plan.scale_model_input(lat_in, i)
+            t = plan.timesteps[i]
+            is_full = (i % n_cache) == 0
+            if force_full is not None:
+                is_full = is_full | (i == force_full)
+            eps, d = jax.lax.cond(
+                is_full,
+                lambda li, dd: f_full(li, t),
+                lambda li, dd: (f_cached(li, t, dd), dd),
+                lat_in, d,
+            )
+            eps = guidance(eps).astype(l.dtype)
+            new_l, h = plan.step(eps.astype(jnp.float32), i,
+                                 l.astype(jnp.float32), h)
+            return (new_l.astype(l.dtype), h, d), None
+
+        (lat, hist, deep), _ = jax.lax.scan(
+            body, (lat, hist, deep), jnp.arange(seg_start, seg_end))
+    return lat

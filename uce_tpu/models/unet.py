@@ -290,15 +290,53 @@ def _upsample(p, x):
     return conv2d(x, p["conv"]["weight"], p["conv"]["bias"])
 
 
+def deep_feature_shape(config: UNetConfig, batch: int, latent_h: int,
+                       latent_w: int, cache_level: int = 1) -> tuple:
+    """Shape of the DeepCache deep feature: the tensor entering up block
+    ``n_blocks - cache_level`` (i.e. the output of the last skipped up
+    block's upsampler). See ``apply``'s deep_feature/return_deep."""
+    shift = cache_level - 1
+    return (batch, latent_h >> shift, latent_w >> shift,
+            config.block_out_channels[cache_level])
+
+
 def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
           encoder_hidden_states: jnp.ndarray, config: UNetConfig,
-          added_cond: dict | None = None) -> jnp.ndarray:
+          added_cond: dict | None = None, *,
+          deep_feature: jnp.ndarray | None = None,
+          return_deep: bool = False,
+          cache_level: int = 1):
     """UNet forward. sample [B,H,W,C_in] NHWC, timesteps [B] or scalar,
     encoder_hidden_states [B,T,D_text] -> noise prediction [B,H,W,C_out].
 
     added_cond (SDXL): {'text_embeds': [B,1280], 'time_ids': [B,6]}.
+
+    DeepCache partial execution (Ma et al. 2023, arXiv:2312.00858 —
+    exploits the temporal redundancy of the deep UNet levels across
+    adjacent denoising steps; an inference-acceleration mode the
+    reference does not have):
+
+    * ``return_deep=True``: run the FULL forward and also return the
+      feature entering up block ``n_blocks - cache_level`` (the deepest
+      feature the shallow path consumes) -> ``(eps, deep)``.
+    * ``deep_feature`` given: run only the SHALLOW path — conv_in, down
+      blocks ``< cache_level`` (for their skip activations), then resume
+      from ``deep_feature`` through up blocks ``>= n_blocks -
+      cache_level`` and conv_out. The deep levels and mid block are
+      skipped entirely.
+
+    ``cache_level`` = number of down/up levels kept live (1 = only the
+    full-resolution level). Both paths share the skip push/pop code, so
+    feeding a same-step deep feature back reproduces the full forward
+    exactly (tested in tests/test_fast_mode.py).
     """
     cfg = config
+    n_blocks = len(cfg.up_block_types)
+    shallow = deep_feature is not None
+    if (shallow or return_deep) and not 1 <= cache_level < n_blocks:
+        raise ValueError(f"cache_level must be in [1, {n_blocks - 1}]")
+    if shallow and return_deep:
+        raise ValueError("deep_feature and return_deep are exclusive")
     groups = cfg.norm_num_groups
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -335,6 +373,8 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
 
     # 3. down blocks
     for bi, btype in enumerate(cfg.down_block_types):
+        if shallow and bi >= cache_level:
+            break
         bp = params["down_blocks"][str(bi)]
         has_attn = btype == "CrossAttnDownBlock2D"
         for li in range(cfg.layers_per_block):
@@ -345,22 +385,34 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
                 )
             res_stack.append(x)
         if "downsamplers" in bp:
+            # on the shallow path, block cache_level-1's downsample output
+            # would only feed a skipped up block — drop the conv too
+            if shallow and bi == cache_level - 1:
+                break
             x = _downsample(bp["downsamplers"]["0"], x)
             res_stack.append(x)
 
-    # 4. mid block
-    mp = params["mid_block"]
-    x = _resnet(mp["resnets"]["0"], x, emb, groups)
-    if "attentions" in mp:
-        x = _spatial_transformer(
-            mp["attentions"]["0"], x, ehs, cfg.heads(len(cfg.block_out_channels) - 1),
-            cfg,
-        )
-    x = _resnet(mp["resnets"]["1"], x, emb, groups)
+    deep_out = None
+    if not shallow:
+        # 4. mid block
+        mp = params["mid_block"]
+        x = _resnet(mp["resnets"]["0"], x, emb, groups)
+        if "attentions" in mp:
+            x = _spatial_transformer(
+                mp["attentions"]["0"], x, ehs,
+                cfg.heads(len(cfg.block_out_channels) - 1), cfg,
+            )
+        x = _resnet(mp["resnets"]["1"], x, emb, groups)
 
     # 5. up blocks
-    n_blocks = len(cfg.up_block_types)
     for bi, btype in enumerate(cfg.up_block_types):
+        if bi == n_blocks - cache_level:
+            if return_deep:
+                deep_out = x
+            elif shallow:
+                x = deep_feature
+        elif shallow and bi < n_blocks - cache_level:
+            continue
         bp = params["up_blocks"][str(bi)]
         has_attn = btype == "CrossAttnUpBlock2D"
         # reversed block index for per-block head counts
@@ -388,6 +440,8 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
     x = group_norm_act(x, params["conv_norm_out"]["weight"],
                        params["conv_norm_out"]["bias"], groups, act="silu")
     x = conv2d(x, params["conv_out"]["weight"], params["conv_out"]["bias"])
+    if return_deep:
+        return x, deep_out
     return x
 
 
