@@ -67,14 +67,23 @@ def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
 
 
 def bench_generation(tiny: bool, batch: int, steps: int,
-                     quantize: bool = False) -> float:
-    """Returns images/second for 512x512 SD v1.4-architecture generation."""
+                     quantize: bool = False, fast=None) -> float:
+    """Returns images/second for 512x512 SD v1.4-architecture generation.
+
+    ``fast``: optional ``sampler.FastConfig`` — measures the opt-in
+    beyond-protocol path (CFG interval + DeepCache) instead of the exact
+    reference protocol. The headline metric is always the exact path;
+    fast numbers are reported alongside, clearly labeled.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from uce_tpu.diffusion import sampler, schedulers
     from uce_tpu.models import unet as unet_mod, vae as vae_mod
+
+    if fast is not None and fast.is_noop:
+        fast = None
 
     if tiny:
         config = unet_mod.UNetConfig(
@@ -117,13 +126,28 @@ def bench_generation(tiny: bool, batch: int, steps: int,
 
     @jax.jit
     def generate(params, vae_params, plan, latents, context):
-        def model_fn(lat_in, t):
-            return unet_mod.apply(params, lat_in, t, context, config)
+        if fast is not None:
+            def model_factory(cond_only, cached, want_deep):
+                ctx = context[batch:] if cond_only else context
+                if cached:
+                    return lambda li, t, d: unet_mod.apply(
+                        params, li, t, ctx, config, deep_feature=d,
+                        cache_level=fast.cache_level)
+                return lambda li, t: unet_mod.apply(
+                    params, li, t, ctx, config, return_deep=want_deep,
+                    cache_level=fast.cache_level)
 
-        final = sampler.denoise(
-            model_fn, plan, latents,
-            guidance_fn=lambda e: sampler.cfg_combine(e, 7.5),
-        )
+            final = sampler.denoise_fast(
+                model_factory, plan, latents, guidance_scale=7.5,
+                fast=fast)
+        else:
+            def model_fn(lat_in, t):
+                return unet_mod.apply(params, lat_in, t, context, config)
+
+            final = sampler.denoise(
+                model_fn, plan, latents,
+                guidance_fn=lambda e: sampler.cfg_combine(e, 7.5),
+            )
         imgs = vae_mod.decode(
             vae_params,
             (final.astype(jnp.float32) / vae_config.scaling_factor).astype(dtype),
@@ -164,7 +188,7 @@ def bench_generation(tiny: bool, batch: int, steps: int,
           + ", ".join(f"{batch / s:.4f}" for s in block_secs)
           + " img/s (best reported)", file=sys.stderr)
     sec_per_run = min(block_secs)
-    if not tiny:
+    if not tiny and fast is None:
         # Analytic FLOP budget, cross-checked against XLA's CPU-backend
         # cost_analysis (tools/flop_count.py): SD1.4 UNet fwd = 788 GFLOP
         # at 64x64 latents, VAE decode = 2504 GFLOP at 512x512.  The TPU
@@ -578,6 +602,11 @@ def main() -> int:
     ap.add_argument("--quantize", action="store_true",
                     help="W8A8 int8 deployment mode (2x MXU rate on v5e); "
                          "the headline metric stays bf16")
+    ap.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                    help="measure the opt-in fast path instead "
+                         "(FastConfig.from_spec, e.g. "
+                         "'cfg_interval=2:25,cache=2'); reported as a "
+                         "separate clearly-labeled metric")
     args = ap.parse_args()
     if not args._worker:
         return _orchestrate(sys.argv[1:])
@@ -676,18 +705,27 @@ def main() -> int:
                           "unit": "img/s", "secondary": True}),
               file=sys.stderr)
 
+    fast_cfg = None
+    if args.fast:
+        from uce_tpu.diffusion.sampler import FastConfig
+
+        fast_cfg = FastConfig.from_spec(args.fast)
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
-                                 args.quantize)
+                                 args.quantize, fast=fast_cfg)
     metric = "sd14_512_50step_img_per_s" if not args.tiny \
         else "tiny_smoke_img_per_s"
     if args.quantize:
         metric += "_w8a8"
+    if fast_cfg is not None:
+        metric += "_fast"
     result = {
         "metric": metric,
         "value": round(img_per_s, 4),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 2.0, 4),
     }
+    if fast_cfg is not None:
+        result["fast_spec"] = args.fast
     print(json.dumps(result))
     return 0
 

@@ -373,3 +373,68 @@ def test_flux_full_tp_speedup_model():
 
     slow = dataclasses.replace(m, ring_bw=m.ring_bw / 10)
     assert slow.speedup(4) < s4
+
+
+def test_mesh_from_spec():
+    m = mesh_mod.mesh_from_spec("data=4,model=2")
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m = mesh_mod.mesh_from_spec("model=2")  # data = all remaining
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m = mesh_mod.mesh_from_spec("data=0,model=4")
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    assert dict(mesh_mod.mesh_from_spec("data=8").shape) == \
+        {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        mesh_mod.mesh_from_spec("chips=8")
+    with pytest.raises(ValueError):
+        mesh_mod.mesh_from_spec("data=3,model=2")  # 6 != 8 devices
+
+
+def test_apply_mesh_tensor_parallel_pipeline_matches_single(pipe):
+    """pipe.apply_mesh with a model axis: the UNet params are re-laid-out
+    tensor-parallel and generation still matches the single-device images
+    (TP is numerically transparent up to reduction order)."""
+    base = pipe(["a", "b"], num_inference_steps=2, seed=[1, 2],
+                height=32, width=32)
+    import copy
+
+    tp_pipe = copy.copy(pipe)
+    tp_pipe.apply_mesh(mesh_mod.make_mesh(n_data=2, n_model=4))
+    try:
+        sharded = tp_pipe(["a", "b"], num_inference_steps=2, seed=[1, 2],
+                          height=32, width=32)
+    finally:
+        tp_pipe.apply_mesh(None)
+    assert np.abs(base.astype(int) - sharded.astype(int)).max() <= 1
+
+
+def test_generate_cli_mesh_e2e(tmp_path, capsys):
+    """'uce generate --mesh data=4,model=2' end-to-end on the virtual
+    8-device CPU mesh: images land on disk and match the single-device
+    run of the same CSV (VERDICT r3 ask: multi-chip on the user surface)."""
+    from PIL import Image
+
+    from uce_tpu.cli.main import main as cli_main
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+    csv = tmp_path / "prompts.csv"
+    csv.write_text(
+        "case_number,prompt,evaluation_seed\n"
+        "0,a cat,7\n1,a dog,9\n2,a bird,11\n")
+    common = ["generate", "--model_id", str(snap),
+              "--prompts_path", str(csv),
+              "--image_size", "32", "--num_inference_steps", "2",
+              "--dtype", "float32", "--batch_rows", "3"]
+    rc = cli_main(common + ["--save_path", str(tmp_path / "single"),
+                            "--exp_name", "run"])
+    assert rc == 0
+    rc = cli_main(common + ["--save_path", str(tmp_path / "meshed"),
+                            "--exp_name", "run",
+                            "--mesh", "data=4,model=2"])
+    assert rc == 0
+    for case in (0, 1, 2):
+        a = np.asarray(Image.open(tmp_path / "single" / "run"
+                                  / f"{case}_0.png"))
+        b = np.asarray(Image.open(tmp_path / "meshed" / "run"
+                                  / f"{case}_0.png"))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, case

@@ -299,3 +299,73 @@ def test_loadgen_report(pipe):
     assert rep.batch_seconds_mean > 0
     js = rep.json()
     assert js["offered_rps"] == 50.0 and isinstance(js["batches"], int)
+
+
+def test_pin_rung_restores_bit_determinism(pipe):
+    """With pin_rung, every batch runs the TOP rung, so one (prompt, seed)
+    yields bit-identical images regardless of batch occupancy — the
+    ladder's determinism caveat (docs/PERF.md) goes away."""
+    cfg = ServerConfig(batch_size=4, batch_sizes=(1, 2, 4), pin_rung=True,
+                       max_wait_ms=300, **CFG)
+    with GenerationServer(pipe, cfg) as srv:
+        solo = srv.generate("a cat", seed=7)
+        assert srv.stats.batches == 1
+        assert srv.stats.padded_slots == 3  # lone request still rung 4
+        futures = [srv.submit(p, seed=s)
+                   for p, s in [("a cat", 7), ("a dog", 2), ("a bird", 3)]]
+        crowded = futures[0].result(timeout=120)
+    np.testing.assert_array_equal(solo, crowded)
+
+
+def test_pin_rung_warmup_compiles_only_top_rung(pipe):
+    cfg = ServerConfig(batch_size=4, batch_sizes=(1, 2, 4), pin_rung=True,
+                       max_wait_ms=1, **CFG)
+    srv = GenerationServer(pipe, cfg)
+    # monkey-run: count warmup batch sizes via a wrapper
+    sizes = []
+    orig = srv._run_batch
+
+    def counting(batch):
+        sizes.append(len(batch))
+        return orig(batch)
+
+    srv._run_batch = counting
+    with srv:
+        srv.generate("a cat", seed=1)
+    # one warmup batch at the top rung (not three), then the real request
+    assert sizes == [4, 1]
+
+
+def test_fast_spec_served(pipe):
+    """A --fast spec threads through to the pipeline: the served image
+    matches a direct pipe(..., fast=FastConfig) call and differs from the
+    exact-protocol image."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    spec = "cfg_interval=1:3,cache=2"
+    cfg = ServerConfig(batch_size=1, max_wait_ms=1, fast=spec,
+                       num_inference_steps=4, height=32, width=32)
+    with GenerationServer(pipe, cfg) as srv:
+        served = srv.generate("a cat", seed=7)
+    direct = pipe(["a cat"], num_inference_steps=4, seed=[7], height=32,
+                  width=32, negative_prompt=[""],
+                  fast=FastConfig.from_spec(spec))
+    np.testing.assert_array_equal(served, direct[0])
+    exact = pipe(["a cat"], num_inference_steps=4, seed=[7], height=32,
+                 width=32, negative_prompt=[""])
+    assert (served != exact[0]).any()
+
+
+def test_fast_spec_rejected_for_family_without_fast(pipe):
+    """start() must fail fast when the pipeline family takes no fast
+    kwarg (mirrors the scheduler-override guard)."""
+    class NoFastPipe:
+        def __call__(self, prompt, num_inference_steps, guidance_scale,
+                     num_images_per_prompt, seed, height, width):
+            raise AssertionError("should not run")
+
+    srv = GenerationServer(
+        NoFastPipe(), ServerConfig(batch_size=1, warmup=False,
+                                   fast="cache=2", **CFG))
+    with pytest.raises(ValueError, match="fast"):
+        srv.start()

@@ -37,6 +37,10 @@ def register_cli(sub) -> None:
                    help="save intermediate safetensors every N iterations")
     p.add_argument("--telemetry_path", type=str, default=None,
                    help="CSV to record per-iteration observed/ratio values")
+    p.add_argument("--mesh", type=str, default=None, metavar="SPEC",
+                   help="multi-chip mesh 'data=N[,model=M]': the loop's "
+                        "per-concept image batches (the wall-clock-dominant "
+                        "cost, SURVEY §3.2) shard over the data axis")
     p.set_defaults(func=_cmd)
 
 
@@ -66,6 +70,10 @@ def _cmd(args) -> int:
     print(f"Preserving: {preserve_concepts}\n")
 
     pipe = SDPipeline.from_pretrained(args.model_id, dtype=jnp.bfloat16)
+    if args.mesh:
+        from uce_tpu.parallel.mesh import mesh_from_spec
+
+        pipe.apply_mesh(mesh_from_spec(args.mesh))
     clip_model = CLIPModel.from_pretrained(args.clip_model_id)
     settings = DebiasSettings(
         desired_ratios=args.desired_ratios,

@@ -49,6 +49,17 @@ def register_cli(sub) -> None:
     p.add_argument("--scheduler", type=str, default=None)
     p.add_argument("--max_wait_ms", type=float, default=50.0,
                    help="max linger for batch fill once a request arrives")
+    p.add_argument("--pin_rung", action="store_true",
+                   help="always run the TOP batch rung: one XLA program "
+                        "serves all traffic, restoring bit-reproducible "
+                        "outputs per (prompt, seed) under a --batch_sizes "
+                        "ladder (costs the low-rate latency win)")
+    p.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                   help="beyond-protocol accelerations, e.g. "
+                        "'cfg_interval=2:25,cache=2,level=1' (CFG only in "
+                        "the step window; DeepCache deep-UNet reuse every "
+                        "N steps) — quantified quality delta in "
+                        "docs/PERF.md")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the warmup batch (first request compiles)")
     p.add_argument("--bench", type=str, default=None, metavar="RATES",
@@ -58,6 +69,10 @@ def register_cli(sub) -> None:
                         "line per rate (serving/loadgen.py)")
     p.add_argument("--bench_requests", type=int, default=24,
                    help="requests per --bench rate")
+    p.add_argument("--mesh", type=str, default=None, metavar="SPEC",
+                   help="multi-chip mesh 'data=N[,model=M]' for --family "
+                        "sd: shard each served batch over N data groups, "
+                        "lay the UNet out tensor-parallel over M chips")
     p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
@@ -91,6 +106,14 @@ def _cmd(args) -> int:
             pipe.quantize_weights(args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
+    if args.mesh:
+        if args.family != "sd":
+            raise SystemExit("--mesh currently serves --family sd only "
+                             "(FLUX/HiDream TP layouts exist at library "
+                             "level: parallel/mesh.py)")
+        from uce_tpu.parallel.mesh import mesh_from_spec
+
+        pipe.apply_mesh(mesh_from_spec(args.mesh))
     batch_sizes = tuple(
         int(s) for s in args.batch_sizes.split(",") if s.strip()
     ) if args.batch_sizes else ()
@@ -102,6 +125,8 @@ def _cmd(args) -> int:
         scheduler=args.scheduler, max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
         batch_sizes=batch_sizes,
+        pin_rung=args.pin_rung,
+        fast=args.fast,
     )
     if args.bench:
         import json

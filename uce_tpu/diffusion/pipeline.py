@@ -94,6 +94,22 @@ class SDPipeline:
         self.unet_params = unet_mod.overlay_edits(self.unet_params, edits,
                                                   dtype=self.dtype)
 
+    def apply_mesh(self, mesh) -> None:
+        """Enable multi-chip execution (SURVEY §2.4 user surface).
+
+        The image batch shards over the mesh 'data' axis inside
+        ``_generate_jit``; when the mesh has a 'model' axis > 1 the UNet
+        parameters are additionally laid out tensor-parallel
+        (``parallel/mesh.shard_unet_params``: head-sharded attention,
+        column/row-parallel FFN) so XLA inserts the psums over ICI.
+        Pass ``None`` to go back to single-device execution.
+        """
+        self.mesh = mesh
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            from uce_tpu.parallel.mesh import shard_unet_params
+
+            self.unet_params = shard_unet_params(self.unet_params, mesh)
+
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize UNet + VAE weights in place (models/quantize.py).
 
@@ -314,9 +330,6 @@ def _compiled_generate(unet_config, vae_config, plan_key, shape_key,
             final = sampler.denoise_fast(
                 model_factory, plan, latents,
                 guidance_scale=guidance_scale, fast=fast,
-                deep_shape_fn=lambda b: unet_mod.deep_feature_shape(
-                    unet_config, b, latents.shape[1], latents.shape[2],
-                    fast.cache_level),
             )
         elif mode == "sld":
             final = sampler.denoise(

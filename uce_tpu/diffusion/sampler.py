@@ -54,6 +54,11 @@ class FastConfig:
     def __post_init__(self):
         if self.cache_interval < 1:
             raise ValueError("cache_interval must be >= 1")
+        if self.cache_level < 1:
+            # the per-model upper bound is checked in the model's apply();
+            # catch the lower bound here rather than failing at trace time
+            # with a negative-shift error from deep_feature_shape
+            raise ValueError("cache_level must be >= 1")
         if self.cfg_interval is not None:
             lo, hi = self.cfg_interval
             if lo < 0 or hi < lo:
@@ -62,6 +67,33 @@ class FastConfig:
     @property
     def is_noop(self) -> bool:
         return self.cfg_interval is None and self.cache_interval == 1
+
+    @classmethod
+    def from_spec(cls, spec: str) -> "FastConfig":
+        """Parse the CLI spec: ``cfg_interval=lo:hi,cache=N,level=L``.
+
+        Every key is optional; ``--fast cache=3`` or
+        ``--fast cfg_interval=5:40`` alone are valid. Unknown keys raise.
+        """
+        kw = {}
+        for part in spec.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            key, _, val = part.partition("=")
+            key, val = key.strip(), val.strip()
+            if key == "cfg_interval":
+                lo, _, hi = val.partition(":")
+                kw["cfg_interval"] = (int(lo), int(hi))
+            elif key == "cache":
+                kw["cache_interval"] = int(val)
+            elif key == "level":
+                kw["cache_level"] = int(val)
+            else:
+                raise ValueError(
+                    f"unknown --fast key {key!r} "
+                    "(expected cfg_interval=lo:hi, cache=N, level=L)")
+        return cls(**kw)
 
 
 def denoise(
@@ -119,7 +151,6 @@ def denoise_fast(
     *,
     guidance_scale,
     fast: FastConfig,
-    deep_shape_fn: Callable[[int], tuple],
 ) -> jnp.ndarray:
     """Denoising scan with the FastConfig accelerations.
 
@@ -131,8 +162,10 @@ def denoise_fast(
     * ``cached=True``:                   ``f(lat_in, t, deep) -> eps``
 
     with ``lat_in`` batched over [uncond; cond] unless ``cond_only``.
-    ``deep_shape_fn(batch)`` gives the deep-feature shape so the scan
-    carry can be initialized without running the model.
+    The deep-feature carry's shape AND dtype come from ``jax.eval_shape``
+    of the full variant (the model may compute its mid-network feature in
+    a different dtype than the latents), so the scan carry initializes
+    without running the model.
 
     The CFG interval splits the run into up to three statically-shaped
     scan segments (cond-only at batch B, guided at 2B, cond-only at B);
@@ -187,15 +220,20 @@ def denoise_fast(
                 body, (lat, hist), jnp.arange(seg_start, seg_end))
             continue
 
-        dshape = deep_shape_fn(branches * bsz)
+        f_full = model_factory(cond_only, False, True)
+        f_cached = model_factory(cond_only, True, False)
+        deep_sds = jax.eval_shape(
+            lambda li, t: f_full(li, t)[1],
+            jax.ShapeDtypeStruct((branches * bsz,) + lat.shape[1:],
+                                 lat.dtype),
+            jax.ShapeDtypeStruct((), plan.timesteps.dtype),
+        )
         force_full = None
         if deep is not None and deep.shape[0] == 2 * bsz and branches == 1:
             deep = deep[bsz:]  # guided -> cond: keep the cond half's cache
-        elif deep is None or deep.shape != dshape:
-            deep = jnp.zeros(dshape, lat.dtype)
+        elif deep is None or deep.shape != deep_sds.shape:
+            deep = jnp.zeros(deep_sds.shape, deep_sds.dtype)
             force_full = seg_start  # cache invalid until the first full step
-        f_full = model_factory(cond_only, False, True)
-        f_cached = model_factory(cond_only, True, False)
 
         def body(carry, i, f_full=f_full, f_cached=f_cached,
                  guidance=guidance, branches=branches, force_full=force_full):

@@ -34,6 +34,8 @@ def generate_images(
     batch_rows: int = 1,
     data_parallel: bool = False,
     exp_name: str | None = None,
+    fast: str | None = None,
+    mesh: str | None = None,
 ) -> int:
     """Returns the number of generated cases.
 
@@ -51,13 +53,23 @@ def generate_images(
     pipe = SDPipeline.from_pretrained(model_name, dtype=jdtype)
     if uce_model_path:
         pipe.load_uce_edits(uce_model_path)
-    if data_parallel:
+    if mesh:
+        from uce_tpu.parallel.mesh import mesh_from_spec
+
+        pipe.apply_mesh(mesh_from_spec(mesh))
+    elif data_parallel:
         import jax
 
         from uce_tpu.parallel.mesh import make_mesh
 
         if len(jax.devices()) > 1:
-            pipe.mesh = make_mesh()
+            pipe.apply_mesh(make_mesh())
+
+    fast_cfg = None
+    if fast:
+        from uce_tpu.diffusion.sampler import FastConfig
+
+        fast_cfg = FastConfig.from_spec(fast)
 
     df = pd.read_csv(prompts_path)
     folder = os.path.join(
@@ -81,6 +93,7 @@ def generate_images(
             seed=[int(r.evaluation_seed) for r in chunk],
             height=image_size, width=image_size,
             scheduler=scheduler,
+            fast=fast_cfg,
         )
         for j, r in enumerate(chunk):
             save_case_images(
@@ -119,7 +132,19 @@ def register_cli(sub) -> None:
     p.add_argument("--batch_rows", type=int, default=1,
                    help="fuse N CSV rows into one batched denoise")
     p.add_argument("--data_parallel", action="store_true",
-                   help="shard the batch over all local devices")
+                   help="shard the batch over all local devices "
+                        "(shorthand for --mesh data=0)")
+    p.add_argument("--mesh", type=str, default=None, metavar="SPEC",
+                   help="multi-chip mesh 'data=N[,model=M]': shard the "
+                        "image batch over N data-parallel groups and lay "
+                        "the UNet out tensor-parallel over M chips "
+                        "(data=0 = all remaining devices)")
+    p.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                   help="beyond-protocol accelerations, e.g. "
+                        "'cfg_interval=2:25,cache=2,level=1' (CFG window "
+                        "+ DeepCache) — quality delta quantified in "
+                        "docs/PERF.md; omit for the exact reference "
+                        "protocol")
     p.set_defaults(func=_cmd)
 
 
@@ -134,7 +159,7 @@ def _cmd(args) -> int:
         num_samples=args.num_samples, from_case=args.from_case,
         till_case=args.till_case, dtype=args.dtype, scheduler=args.scheduler,
         batch_rows=args.batch_rows, data_parallel=args.data_parallel,
-        exp_name=args.exp_name,
+        exp_name=args.exp_name, fast=args.fast, mesh=args.mesh,
     )
     print(f"generated {n} cases")
     return 0

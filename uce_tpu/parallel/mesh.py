@@ -33,6 +33,31 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def mesh_from_spec(spec: str, devices=None) -> Mesh:
+    """Parse the CLI mesh spec ``data=N[,model=M]`` into a Mesh.
+
+    ``data=0`` (or omitting data) means "all remaining devices": e.g. on
+    an 8-device host ``model=2`` gives a 4x2 mesh. The user surface for
+    SURVEY §2.4's data-parallel generation fan-out.
+    """
+    n_data: int | None = None
+    n_model = 1
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        key, val = key.strip(), val.strip()
+        if key == "data":
+            n_data = int(val) or None
+        elif key == "model":
+            n_model = int(val)
+        else:
+            raise ValueError(
+                f"unknown --mesh key {key!r} (expected data=N, model=M)")
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

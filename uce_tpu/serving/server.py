@@ -58,9 +58,17 @@ class ServerConfig:
     on different rungs across arrivals. Rungs are separate XLA programs
     whose tilings may differ by a few ULPs, which can cross a uint8
     rounding boundary — so repeated submissions of one request may
-    differ by ±1 level per pixel depending on traffic. The
-    single-signature server (empty ``batch_sizes``) always runs one
-    program and does not have this caveat.
+    differ by ±1 level per pixel depending on traffic. ``pin_rung=True``
+    removes the caveat: every batch pads into the TOP rung, so one
+    program serves all traffic (bit-reproducible outputs per (prompt,
+    seed), at the cost of the ladder's low-rate latency win — use it
+    for reproducibility-sensitive evals). The single-signature server
+    (empty ``batch_sizes``) never has the caveat.
+
+    ``fast`` is an optional ``FastConfig.from_spec`` string (e.g.
+    ``"cfg_interval=2:25,cache=2"``) enabling the beyond-protocol
+    inference accelerations for every request this server runs; the
+    pipeline family must accept a ``fast`` kwarg (SD does).
     """
 
     batch_size: int = 4
@@ -72,6 +80,8 @@ class ServerConfig:
     max_wait_ms: float = 50.0
     warmup: bool = True
     batch_sizes: tuple = ()  # () -> (batch_size,)
+    pin_rung: bool = False
+    fast: str | None = None
 
 
 @dataclasses.dataclass
@@ -113,6 +123,13 @@ class GenerationServer:
             config.batch_sizes or (config.batch_size,))))
         if any(s < 1 for s in self.batch_sizes):
             raise ValueError("batch sizes must be >= 1")
+        self._fast = None
+        if config.fast:
+            from uce_tpu.diffusion.sampler import FastConfig
+
+            self._fast = FastConfig.from_spec(config.fast)
+            if self._fast.is_noop:
+                self._fast = None
         self.stats = ServerStats()
         self._queue: queue.Queue[Request | None] = queue.Queue()
         self._thread: threading.Thread | None = None
@@ -147,11 +164,17 @@ class GenerationServer:
                 not self._pipe_supports("scheduler"):
             raise ValueError(
                 "this pipeline family takes no scheduler override")
+        if self._fast is not None and not self._pipe_supports("fast"):
+            raise ValueError(
+                "this pipeline family takes no fast config")
         if self.config.warmup:
             t0 = time.time()
             # largest rung first: an OOM fails startup before the cheap
-            # signatures waste compile time
-            for size in reversed(self.batch_sizes):
+            # signatures waste compile time; a pinned server only ever
+            # runs the top rung, so skip compiling the others
+            warm_sizes = (self.batch_sizes[-1:] if self.config.pin_rung
+                          else tuple(reversed(self.batch_sizes)))
+            for size in warm_sizes:
                 self._run_batch(
                     [Request(prompt="", seed=0) for _ in range(size)])
             logger.info("serving signature(s) warmed in %.1f s "
@@ -247,6 +270,8 @@ class GenerationServer:
             out["scheduler"] = cfg.scheduler
         if self._pipe_supports("negative_prompt"):
             out["negative_prompt"] = negatives
+        if self._fast is not None:
+            out["fast"] = self._fast
         return out
 
     def _run_batch(self, batch: list[Request]) -> None:
@@ -258,8 +283,11 @@ class GenerationServer:
             return
         cfg = self.config
         n_real = len(batch)
-        # smallest compiled rung that fits (gather never exceeds the top)
-        size = next(s for s in self.batch_sizes if s >= n_real)
+        # smallest compiled rung that fits (gather never exceeds the top);
+        # pin_rung always pads into the top rung so one XLA program serves
+        # all traffic (bit-reproducible per request across occupancies)
+        size = self.batch_sizes[-1] if cfg.pin_rung else \
+            next(s for s in self.batch_sizes if s >= n_real)
         n_pad = size - n_real
         prompts = [r.prompt for r in batch] + [""] * n_pad
         seeds = [r.seed for r in batch] + [0] * n_pad
