@@ -225,3 +225,43 @@ def resnet50_logits_torch(sd: dict, x: torch.Tensor) -> torch.Tensor:
 
 def to_numpy_sd(sd: dict) -> dict:
     return {k: v.numpy().astype(np.float32) for k, v in sd.items()}
+
+
+def vit_cls_embed_torch(sd: dict, x: torch.Tensor, num_heads: int,
+                        eps: float = 1e-6) -> torch.Tensor:
+    """Independent timm-layout ViT forward (DreamSim backbone family):
+    NCHW input [B, 3, S, S] already normalized -> CLS embedding [B, D]."""
+    w = {k: torch.tensor(v) for k, v in sd.items()}
+    D = w["cls_token"].shape[-1]
+    x = F.conv2d(x, w["patch_embed.proj.weight"],
+                 w["patch_embed.proj.bias"],
+                 stride=w["patch_embed.proj.weight"].shape[-1])
+    B = x.shape[0]
+    x = x.flatten(2).transpose(1, 2)  # [B, S_patches, D]
+    cls = w["cls_token"].reshape(1, 1, D).expand(B, -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    T = x.shape[1]
+    x = x + w["pos_embed"].reshape(-1, D)[:T]
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("blocks."))
+    for i in range(n_blocks):
+        b = f"blocks.{i}."
+        h = F.layer_norm(x, (D,), w[b + "norm1.weight"],
+                         w[b + "norm1.bias"], eps)
+        qkv = F.linear(h, w[b + "attn.qkv.weight"], w[b + "attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+
+        def heads(z):
+            return z.reshape(B, T, num_heads, -1).transpose(1, 2)
+
+        attn = F.scaled_dot_product_attention(heads(q), heads(k), heads(v))
+        attn = attn.transpose(1, 2).reshape(B, T, D)
+        x = x + F.linear(attn, w[b + "attn.proj.weight"],
+                         w[b + "attn.proj.bias"])
+        h = F.layer_norm(x, (D,), w[b + "norm2.weight"],
+                         w[b + "norm2.bias"], eps)
+        x = x + F.linear(F.gelu(F.linear(h, w[b + "mlp.fc1.weight"],
+                                         w[b + "mlp.fc1.bias"])),
+                         w[b + "mlp.fc2.weight"], w[b + "mlp.fc2.bias"])
+    x = F.layer_norm(x, (D,), w["norm.weight"], w["norm.bias"], eps)
+    return x[:, 0]

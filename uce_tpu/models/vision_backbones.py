@@ -225,3 +225,134 @@ def preprocess_imagenet(images: np.ndarray, size: int = 224) -> jnp.ndarray:
     top, left = (nh - size) // 2, (nw - size) // 2
     x = x[:, top:top + size, left:left + size]
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# Generic pre-norm ViT (timm layout) — the DreamSim backbone family
+# (DINO/CLIP/OpenCLIP ViT-B are all this architecture; DreamSim's LoRA
+# deltas are merged into the dense weights at conversion time —
+# tools/convert_dreamsim.py). Reference metric: evalscripts/dreamsim_eval.py
+# ---------------------------------------------------------------------------
+
+def convert_vit_timm(sd: Mapping, num_blocks: int | None = None) -> dict:
+    """timm VisionTransformer state dict -> layer-stacked JAX params.
+
+    Expected keys: patch_embed.proj.{weight,bias} (OIHW conv),
+    cls_token, pos_embed, blocks.{i}.norm1/attn.qkv/attn.proj/norm2/
+    mlp.fc1/mlp.fc2, norm.{weight,bias}; optional head/proj is ignored
+    (DreamSim uses the CLS embedding, not a classification head).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if num_blocks is None:
+        num_blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                             if k.startswith("blocks."))
+
+    def stack(tmpl, transpose=False):
+        ws = [sd[tmpl.format(i)] for i in range(num_blocks)]
+        w = np.stack(ws)
+        return np.swapaxes(w, -1, -2) if transpose else w
+
+    blocks = {
+        "ln1_scale": stack("blocks.{}.norm1.weight"),
+        "ln1_bias": stack("blocks.{}.norm1.bias"),
+        "qkv_w": stack("blocks.{}.attn.qkv.weight", transpose=True),
+        "qkv_b": stack("blocks.{}.attn.qkv.bias"),
+        "o_w": stack("blocks.{}.attn.proj.weight", transpose=True),
+        "o_b": stack("blocks.{}.attn.proj.bias"),
+        "ln2_scale": stack("blocks.{}.norm2.weight"),
+        "ln2_bias": stack("blocks.{}.norm2.bias"),
+        "fc1_w": stack("blocks.{}.mlp.fc1.weight", transpose=True),
+        "fc1_b": stack("blocks.{}.mlp.fc1.bias"),
+        "fc2_w": stack("blocks.{}.mlp.fc2.weight", transpose=True),
+        "fc2_b": stack("blocks.{}.mlp.fc2.bias"),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, {
+        "patch_kernel": np.transpose(sd["patch_embed.proj.weight"],
+                                     (2, 3, 1, 0)),  # OIHW -> HWIO
+        "patch_bias": sd["patch_embed.proj.bias"],
+        "cls_token": sd["cls_token"].reshape(1, 1, -1),
+        "pos_embed": sd["pos_embed"].reshape(
+            sd["pos_embed"].shape[-2], sd["pos_embed"].shape[-1]),
+        "blocks": blocks,
+        "ln_scale": sd["norm.weight"],
+        "ln_bias": sd["norm.bias"],
+    })
+
+
+def vit_cls_embed(params: dict, pixels: jnp.ndarray, num_heads: int,
+                  eps: float = 1e-6) -> jnp.ndarray:
+    """pixels [B, S, S, 3] (already model-normalized) -> CLS embedding
+    [B, D] after the final norm (timm forward_features CLS slot)."""
+    from uce_tpu.ops.attention import dot_product_attention
+
+    p = params
+    D = p["cls_token"].shape[-1]
+    ps = p["patch_kernel"].shape[0]
+    x = jax.lax.conv_general_dilated(
+        pixels, p["patch_kernel"], window_strides=(ps, ps),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    B = x.shape[0]
+    x = x.reshape(B, -1, D) + p["patch_bias"]
+    cls = jnp.broadcast_to(p["cls_token"], (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1)
+    T = x.shape[1]
+    x = x + p["pos_embed"][:T]
+
+    def _ln(v, scale, bias):
+        v32 = v.astype(jnp.float32)
+        mu = v32.mean(-1, keepdims=True)
+        var = v32.var(-1, keepdims=True)
+        return ((v32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+                ).astype(v.dtype)
+
+    Dh = D // num_heads
+
+    def block(x, bp):
+        h = _ln(x, bp["ln1_scale"], bp["ln1_bias"])
+        qkv = h @ bp["qkv_w"] + bp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(B, T, num_heads, Dh).transpose(0, 2, 1, 3)
+
+        attn = dot_product_attention(heads(q), heads(k), heads(v))
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, D)
+        x = x + attn @ bp["o_w"] + bp["o_b"]
+        h = _ln(x, bp["ln2_scale"], bp["ln2_bias"])
+        x = x + jax.nn.gelu(h @ bp["fc1_w"] + bp["fc1_b"],
+                            approximate=False) @ bp["fc2_w"] + bp["fc2_b"]
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, p["blocks"])
+    x = _ln(x, p["ln_scale"], p["ln_bias"])
+    return x[:, 0]
+
+
+def init_vit_timm(rng: np.random.Generator, depth: int = 2, dim: int = 32,
+                  heads: int = 2, patch: int = 8, image: int = 32,
+                  mlp_ratio: int = 4) -> dict[str, np.ndarray]:
+    """Random flat timm-format ViT state dict (tests/benches)."""
+    n = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    n_pos = (image // patch) ** 2 + 1
+    sd = {
+        "patch_embed.proj.weight": n(dim, 3, patch, patch),
+        "patch_embed.proj.bias": np.zeros(dim, np.float32),
+        "cls_token": n(1, 1, dim),
+        "pos_embed": n(1, n_pos, dim),
+        "norm.weight": np.ones(dim, np.float32),
+        "norm.bias": np.zeros(dim, np.float32),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        for ln in ("norm1", "norm2"):
+            sd[b + ln + ".weight"] = np.ones(dim, np.float32)
+            sd[b + ln + ".bias"] = np.zeros(dim, np.float32)
+        sd[b + "attn.qkv.weight"] = n(3 * dim, dim)
+        sd[b + "attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[b + "attn.proj.weight"] = n(dim, dim)
+        sd[b + "attn.proj.bias"] = np.zeros(dim, np.float32)
+        sd[b + "mlp.fc1.weight"] = n(mlp_ratio * dim, dim)
+        sd[b + "mlp.fc1.bias"] = np.zeros(mlp_ratio * dim, np.float32)
+        sd[b + "mlp.fc2.weight"] = n(dim, mlp_ratio * dim)
+        sd[b + "mlp.fc2.bias"] = np.zeros(dim, np.float32)
+    return sd
