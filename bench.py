@@ -30,6 +30,14 @@ import json
 import sys
 import time
 
+# Fast-path spec the default headline run measures alongside the exact
+# protocol (override with UCE_BENCH_FAST_SPEC; on-chip sweep in
+# docs/PERF.md "Fast mode"). Measured 2.083 img/s on chip (vs 1.265
+# exact) at the mildest config that clears the 2.0 target: CFG confined
+# to scheduler calls [5, 30) (Kynkaanniemi et al. 2024) + DeepCache N=2
+# (Ma et al. 2023). Both numbers land in ONE JSON line, clearly labeled.
+DEFAULT_FAST_SPEC = "cfg_interval=5:30,cache=2"
+
 
 def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
                n_preserve: int = 50) -> float:
@@ -603,10 +611,13 @@ def main() -> int:
                     help="W8A8 int8 deployment mode (2x MXU rate on v5e); "
                          "the headline metric stays bf16")
     ap.add_argument("--fast", type=str, default=None, metavar="SPEC",
-                    help="measure the opt-in fast path instead "
+                    help="measure ONLY the opt-in fast path "
                          "(FastConfig.from_spec, e.g. "
                          "'cfg_interval=2:25,cache=2'); reported as a "
                          "separate clearly-labeled metric")
+    ap.add_argument("--no_fast", action="store_true",
+                    help="suppress the fast-mode side measurement the "
+                         "default headline run includes")
     args = ap.parse_args()
     if not args._worker:
         return _orchestrate(sys.argv[1:])
@@ -726,6 +737,29 @@ def main() -> int:
     }
     if fast_cfg is not None:
         result["fast_spec"] = args.fast
+    elif not (args.tiny or args.quantize or args.no_fast):
+        # The default headline run reports the exact reference protocol
+        # (above) AND the opt-in fast path side by side, clearly labeled.
+        # Quality evidence for the default spec: docs/PERF.md "Fast mode"
+        # (pixel-delta A/B via tools/fast_quality.py; real-weights CLIP/
+        # LPIPS gate scripted in tools/real_smoke.sh step 6).
+        import os
+
+        spec = os.environ.get("UCE_BENCH_FAST_SPEC", DEFAULT_FAST_SPEC)
+        try:
+            from uce_tpu.diffusion.sampler import FastConfig
+
+            fast_img_s = bench_generation(
+                args.tiny, args.batch, args.steps, args.quantize,
+                fast=FastConfig.from_spec(spec))
+            result["fast"] = {
+                "spec": spec,
+                "value": round(fast_img_s, 4),
+                "vs_baseline": round(fast_img_s / 2.0, 4),
+                "quality": "docs/PERF.md 'Fast mode'",
+            }
+        except Exception as exc:  # the exact headline must still land
+            result["fast"] = {"spec": spec, "error": str(exc)[:200]}
     print(json.dumps(result))
     return 0
 

@@ -369,3 +369,21 @@ def test_fast_spec_rejected_for_family_without_fast(pipe):
                                    fast="cache=2", **CFG))
     with pytest.raises(ValueError, match="fast"):
         srv.start()
+
+
+def test_meshed_pipeline_served(pipe):
+    """'uce serve --mesh data=N,model=M' path: a tensor+data-parallel
+    pipeline behind the batching server returns images matching the
+    single-device pipeline within compiled-program rounding."""
+    import copy
+
+    from uce_tpu.parallel import mesh as mesh_mod
+
+    tp = copy.copy(pipe)
+    tp.apply_mesh(mesh_mod.make_mesh(n_data=2, n_model=4))
+    cfg = ServerConfig(batch_size=2, max_wait_ms=1, **CFG)
+    with GenerationServer(tp, cfg) as srv:
+        served = srv.generate("a cat", seed=7)
+    direct = pipe(["a cat"], num_inference_steps=2, seed=[7], height=32,
+                  width=32, negative_prompt=[""])
+    assert np.abs(served.astype(int) - direct[0].astype(int)).max() <= 1
