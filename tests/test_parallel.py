@@ -438,3 +438,40 @@ def test_generate_cli_mesh_e2e(tmp_path, capsys):
         b = np.asarray(Image.open(tmp_path / "meshed" / "run"
                                   / f"{case}_0.png"))
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, case
+
+
+def test_flux_pipeline_apply_mesh_matches_single():
+    """FluxPipeline.apply_mesh: data+tensor-parallel generation matches
+    single-device images (3 prompts exercise the pad-to-data-axis path)."""
+    import copy
+
+    from tests.test_flux_pipeline import tiny_flux_pipe
+
+    fpipe = tiny_flux_pipe.__wrapped__()
+    kw = dict(num_inference_steps=2, guidance_scale=0.0,
+              height=32, width=32)
+    base = fpipe(["a", "b", "c"], seed=[1, 2, 3], **kw)
+    mp = copy.copy(fpipe)
+    mp.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    sharded = mp(["a", "b", "c"], seed=[1, 2, 3], **kw)
+    assert sharded.shape == base.shape
+    assert np.abs(base.astype(int) - sharded.astype(int)).max() <= 1
+
+
+def test_hidream_pipeline_apply_mesh_matches_single():
+    """HiDreamPipeline.apply_mesh under CFG: per-branch row padding keeps
+    the [uncond; cond] layout; expert/tensor-parallel DiT matches the
+    single-device images."""
+    import copy
+
+    from tests.test_hidream_pipeline import tiny_hidream
+
+    hpipe, _ = tiny_hidream.__wrapped__()
+    kw = dict(num_inference_steps=2, guidance_scale=5.0,
+              height=16, width=16)
+    base = hpipe(["a", "b", "c"], seed=[1, 2, 3], **kw)
+    mp = copy.copy(hpipe)
+    mp.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    sharded = mp(["a", "b", "c"], seed=[1, 2, 3], **kw)
+    assert sharded.shape == base.shape
+    assert np.abs(base.astype(int) - sharded.astype(int)).max() <= 1

@@ -34,6 +34,10 @@ def register_cli(sub) -> None:
                         "encoders first, free them, then load the DiT "
                         "into the vacated HBM (reference "
                         "uce_hidream_edit.py three-phase load)")
+    p.add_argument("--mesh", type=str, default=None, metavar="SPEC",
+                   help="multi-chip mesh 'data=N[,model=M]': shard "
+                        "the batch over N data groups, lay the DiT "
+                        "out tensor-parallel over M chips")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
@@ -54,6 +58,10 @@ def _cmd(args) -> int:
         staged=args.staged, quantize=args.quantize)
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
+    if args.mesh:
+        from uce_tpu.parallel.mesh import mesh_from_spec
+
+        pipe.apply_mesh(mesh_from_spec(args.mesh))
 
     folder = os.path.join(
         args.save_path,

@@ -70,9 +70,10 @@ def register_cli(sub) -> None:
     p.add_argument("--bench_requests", type=int, default=24,
                    help="requests per --bench rate")
     p.add_argument("--mesh", type=str, default=None, metavar="SPEC",
-                   help="multi-chip mesh 'data=N[,model=M]' for --family "
-                        "sd: shard each served batch over N data groups, "
-                        "lay the UNet out tensor-parallel over M chips")
+                   help="multi-chip mesh 'data=N[,model=M]': shard each "
+                        "served batch over N data groups and lay the "
+                        "UNet/DiT out tensor-parallel (HiDream: expert-"
+                        "parallel MoE) over M chips")
     p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
@@ -107,10 +108,6 @@ def _cmd(args) -> int:
     if args.uce_model_path:
         pipe.load_uce_edits(args.uce_model_path)
     if args.mesh:
-        if args.family != "sd":
-            raise SystemExit("--mesh currently serves --family sd only "
-                             "(FLUX/HiDream TP layouts exist at library "
-                             "level: parallel/mesh.py)")
         from uce_tpu.parallel.mesh import mesh_from_spec
 
         pipe.apply_mesh(mesh_from_spec(args.mesh))

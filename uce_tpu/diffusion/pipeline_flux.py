@@ -103,6 +103,8 @@ class FluxPipeline:
     model_dir: str | None = None
     pending_quantize: str | None = None
     pending_edits: list = dataclasses.field(default_factory=list)
+    # optional jax.sharding.Mesh (apply_mesh) for multi-chip generation
+    mesh: object | None = None
 
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
@@ -170,6 +172,20 @@ class FluxPipeline:
         ``generate_from_embeddings`` works — encode first."""
         self.t5_params = None
         self.clip_params = None
+
+    def apply_mesh(self, mesh) -> None:
+        """Multi-chip generation: the image batch shards over the mesh
+        'data' axis; a 'model' axis > 1 lays the DiT out tensor-parallel
+        (parallel/mesh.shard_flux_params: head-sharded joint attention,
+        column/row-parallel MLPs — num_attention_heads must divide by
+        it). Pass None to return to single-device execution."""
+        self.mesh = mesh
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            from uce_tpu.parallel.mesh import shard_flux_params
+
+            self._ensure_transformer()
+            self.transformer_params = shard_flux_params(
+                self.transformer_params, mesh)
 
     def _ensure_transformer(self) -> None:
         if self.transformer_params is None:
@@ -371,10 +387,23 @@ def _compiled_flux_generate(config, vae_config, plan_key, shape_key,
 
 def _flux_generate_jit(pipe, plan, packed, t5_embeds, pooled, guidance,
                        latent_hw):
+    orig = packed.shape[0]
+    mesh = getattr(pipe, "mesh", None)
+    if mesh is not None:
+        # data-parallel fan-out: pad the batch to the data axis, shard,
+        # slice the images back after (pipeline.py's SD path, FLUX shapes)
+        from uce_tpu.parallel.mesh import batch_sharding, pad_batch
+
+        n_data = dict(mesh.shape)["data"]
+        sh = batch_sharding(mesh)
+        packed, t5_embeds, pooled = (
+            jax.device_put(pad_batch(x, n_data), sh)
+            for x in (packed, t5_embeds, pooled))
     fn = _compiled_flux_generate(
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (packed.shape, str(packed.dtype)),
         latent_hw)
-    return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
-              t5_embeds, pooled, guidance)
+    out = fn(pipe.transformer_params, pipe.vae_params, plan, packed,
+             t5_embeds, pooled, guidance)
+    return out[:orig]

@@ -82,6 +82,8 @@ class HiDreamPipeline:
     model_dir: str | None = None
     pending_quantize: str | None = None
     pending_edits: list = dataclasses.field(default_factory=list)
+    # optional jax.sharding.Mesh (apply_mesh) for multi-chip generation
+    mesh: object | None = None
 
     @classmethod
     def from_pretrained(cls, model_dir: str, llama_dir: str | None = None,
@@ -174,6 +176,18 @@ class HiDreamPipeline:
         After this, only ``generate_from_embeddings`` works."""
         self.clip_params = self.clip_params_2 = None
         self.t5_params = self.llama_params = None
+
+    def apply_mesh(self, mesh) -> None:
+        """Multi-chip generation: image batch over the mesh 'data' axis;
+        a 'model' axis > 1 lays the MoE DiT out tensor/expert-parallel
+        (parallel/mesh.shard_hidream_params). Pass None to revert."""
+        self.mesh = mesh
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            from uce_tpu.parallel.mesh import shard_hidream_params
+
+            self._ensure_transformer()
+            self.transformer_params = shard_hidream_params(
+                self.transformer_params, mesh)
 
     def _ensure_transformer(self) -> None:
         if self.transformer_params is None:
@@ -427,10 +441,36 @@ def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
 
 def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
                           guidance, do_cfg, latent_hw):
+    orig = packed.shape[0]
+    mesh = getattr(pipe, "mesh", None)
+    if mesh is not None:
+        # pad the PER-BRANCH batch to the data axis (CFG rows are
+        # [uncond; cond] — padding must land inside each half), shard,
+        # slice the images back after
+        from uce_tpu.parallel.mesh import batch_sharding, pad_batch
+
+        n_data = dict(mesh.shape)["data"]
+
+        def pad_rows(x, axis):
+            if not do_cfg:
+                return pad_batch(x, n_data, axis=axis)
+            u, c = jnp.split(x, 2, axis=axis)
+            return jnp.concatenate(
+                [pad_batch(u, n_data, axis=axis),
+                 pad_batch(c, n_data, axis=axis)], axis=axis)
+
+        packed = jax.device_put(pad_batch(packed, n_data),
+                                batch_sharding(mesh))
+        t5_e = jax.device_put(pad_rows(t5_e, 0), batch_sharding(mesh))
+        pooled_e = jax.device_put(pad_rows(pooled_e, 0),
+                                  batch_sharding(mesh))
+        llama_e = jax.device_put(pad_rows(llama_e, 1),
+                                 batch_sharding(mesh, axis=1))
     fn = _compiled_hidream_generate(
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (packed.shape, str(packed.dtype)),
         do_cfg, latent_hw)
-    return fn(pipe.transformer_params, pipe.vae_params, plan, packed,
-              t5_e, llama_e, pooled_e, jnp.float32(guidance))
+    out = fn(pipe.transformer_params, pipe.vae_params, plan, packed,
+             t5_e, llama_e, pooled_e, jnp.float32(guidance))
+    return out[:orig]

@@ -58,9 +58,21 @@ def mesh_from_spec(spec: str, devices=None) -> Mesh:
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard one (batch) axis over 'data' (leading by default)."""
+    return NamedSharding(mesh, P(*([None] * axis + ["data"])))
+
+
+def pad_batch(x, n_data: int, axis: int = 0):
+    """Pad ``axis`` to a multiple of ``n_data`` by repeating the last
+    slice (padding rows are computed and discarded by the caller)."""
+    size = x.shape[axis]
+    pad = (-size) % n_data
+    if not pad:
+        return x
+    last = jax.lax.slice_in_dim(x, size - 1, size, axis=axis)
+    reps = jnp.concatenate([last] * pad, axis=axis)
+    return jnp.concatenate([x, reps], axis=axis)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
