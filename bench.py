@@ -369,7 +369,8 @@ def bench_flux(batch: int = 4, w8: bool = False,
     return batch / sec_per_run
 
 
-def bench_hidream(batch: int = 1, _tiny: bool = False) -> float:
+def bench_hidream(batch: int = 1, _tiny: bool = False,
+                  cfg_window: tuple | None = None) -> float:
     """HiDream-I1 protocol (50 steps, CFG 5.0, 1024x1024 — the pipeline
     defaults, diffusion/pipeline_hidream.py:287-296; reference family:
     uce_hidream_edit.py) on a HALF-DEPTH (8 dual + 16 single block)
@@ -454,18 +455,35 @@ def bench_hidream(batch: int = 1, _tiny: bool = False) -> float:
 
     @jax.jit
     def generate(params, x, t5, llama, pooled):
-        def step(z, i):
-            t = jnp.full((2 * batch,), sigmas[i] * 1000.0, jnp.float32)
-            v = hidream_mod.apply(
-                params, jnp.concatenate([z, z], axis=0), t5, llama,
-                pooled, t, img_ids, config)
-            vu, vc = v[:batch], v[batch:]
-            v = vu + 5.0 * (vc - vu)      # CFG combine
-            # pipeline applies noise_pred = -v before the Euler step
-            z = (z - (sigmas[i + 1] - sigmas[i]) * v).astype(z.dtype)
-            return z, None
+        def make_step(cond_only):
+            def step(z, i):
+                n_rows = batch if cond_only else 2 * batch
+                t = jnp.full((n_rows,), sigmas[i] * 1000.0, jnp.float32)
+                if cond_only:  # CFG window: only the cond rows run
+                    v = hidream_mod.apply(
+                        params, z, t5[batch:], llama[:, batch:],
+                        pooled[batch:], t, img_ids, config)
+                else:
+                    v = hidream_mod.apply(
+                        params, jnp.concatenate([z, z], axis=0), t5, llama,
+                        pooled, t, img_ids, config)
+                    vu, vc = v[:batch], v[batch:]
+                    v = vu + 5.0 * (vc - vu)      # CFG combine
+                # pipeline applies noise_pred = -v before the Euler step
+                z = (z - (sigmas[i + 1] - sigmas[i]) * v).astype(z.dtype)
+                return z, None
+            return step
 
-        z, _ = jax.lax.scan(step, x, jnp.arange(n_steps))
+        if cfg_window is not None:
+            lo = min(max(cfg_window[0], 0), n_steps)
+            hi = min(max(cfg_window[1], lo), n_steps)
+            segs = [s for s in ((0, lo, True), (lo, hi, False),
+                                (hi, n_steps, True)) if s[1] > s[0]]
+        else:
+            segs = [(0, n_steps, False)]
+        z = x
+        for s, e, cond_only in segs:
+            z, _ = jax.lax.scan(make_step(cond_only), z, jnp.arange(s, e))
         return z
 
     np.asarray(generate(params, x, t5, llama, pooled))  # compile + run 1
@@ -603,6 +621,9 @@ def main() -> int:
                     help="also time the HiDream-I1 protocol (50 steps, "
                          "CFG 5, 1024px) on a half-depth w8 MoE DiT "
                          "(secondary metric, stderr)")
+    ap.add_argument("--hidream_w8_fast", action="store_true",
+                    help="also time the HiDream w8 DiT with the CFG "
+                         "window cfg_interval=5:30 (secondary, stderr)")
     ap.add_argument("--skip_edit", action="store_true")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute per-step cost to op families by "
@@ -714,6 +735,17 @@ def main() -> int:
         print(json.dumps({"metric": "hidream_halfdepth_w8_img_per_s",
                           "value": round(hd_img_s, 4),
                           "unit": "img/s", "secondary": True}),
+              file=sys.stderr)
+
+    if args.hidream_w8_fast:
+        hd_fast = bench_hidream(cfg_window=(5, 30))
+        print(f"hidream-I1 w8 MoE DiT with cfg_interval=5:30: "
+              f"{hd_fast:.4f} img/s (secondary; cond-only outside the "
+              "window)", file=sys.stderr)
+        print(json.dumps({"metric": "hidream_halfdepth_w8_fast_img_per_s",
+                          "value": round(hd_fast, 4),
+                          "unit": "img/s", "secondary": True,
+                          "fast_spec": "cfg_interval=5:30"}),
               file=sys.stderr)
 
     fast_cfg = None

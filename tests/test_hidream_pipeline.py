@@ -272,3 +272,52 @@ def test_generate_hidream_cli_staged_w8(tmp_path_factory, tmp_path):
         sys.argv = argv
     written = sorted(os.listdir(tmp_path / "out" / "original"))
     assert written == ["0_0.png", "0_1.png", "1_0.png", "1_1.png"]
+
+
+def test_fast_full_window_is_identical(tiny_hidream):
+    """A cfg_interval spanning every step changes no arithmetic — the
+    single guided segment must reproduce the exact path bitwise."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    pipe, _ = tiny_hidream
+    kw = dict(num_inference_steps=2, guidance_scale=5.0, seed=3,
+              height=16, width=16)
+    base = pipe("a cat", **kw)
+    fast = pipe("a cat", fast=FastConfig(cfg_interval=(0, 100)), **kw)
+    np.testing.assert_array_equal(base, fast)
+
+
+def test_fast_cfg_window_runs_and_differs(tiny_hidream):
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    pipe, _ = tiny_hidream
+    kw = dict(num_inference_steps=3, guidance_scale=5.0, seed=3,
+              height=16, width=16)
+    base = pipe("a cat", **kw)
+    fast = pipe("a cat", fast=FastConfig(cfg_interval=(1, 2)), **kw)
+    assert fast.shape == base.shape and fast.dtype == np.uint8
+    assert (fast != base).any()  # cond-only steps change the trajectory
+    again = pipe("a cat", fast=FastConfig(cfg_interval=(1, 2)), **kw)
+    np.testing.assert_array_equal(fast, again)
+
+
+def test_fast_rejects_cache_interval(tiny_hidream):
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    pipe, _ = tiny_hidream
+    with pytest.raises(ValueError, match="cfg_interval only"):
+        pipe("a cat", num_inference_steps=2, guidance_scale=5.0, seed=1,
+             height=16, width=16, fast=FastConfig(cache_interval=2))
+
+
+def test_fast_ignored_without_cfg(tiny_hidream):
+    """guidance <= 1 runs a single branch; a cfg window is meaningless
+    and must silently share the exact path."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    pipe, _ = tiny_hidream
+    kw = dict(num_inference_steps=2, guidance_scale=1.0, seed=3,
+              height=16, width=16)
+    base = pipe("a cat", **kw)
+    fast = pipe("a cat", fast=FastConfig(cfg_interval=(0, 1)), **kw)
+    np.testing.assert_array_equal(base, fast)

@@ -38,6 +38,10 @@ def register_cli(sub) -> None:
                    help="multi-chip mesh 'data=N[,model=M]': shard "
                         "the batch over N data groups, lay the DiT "
                         "out tensor-parallel over M chips")
+    p.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                   help="CFG-interval window, e.g. 'cfg_interval=5:30' "
+                        "(cond-only DiT outside it — halves the dominant "
+                        "MoE cost there); cache=N is UNet-only and rejected")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
@@ -102,6 +106,12 @@ def _cmd(args) -> int:
                   for row in rows]
         pipe.free_encoders()
 
+    fast_cfg = None
+    if args.fast:
+        from uce_tpu.diffusion.sampler import FastConfig
+
+        fast_cfg = FastConfig.from_spec(args.fast)
+
     n = 0
     for i, row in enumerate(rows):
         if args.staged:
@@ -112,7 +122,8 @@ def _cmd(args) -> int:
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
                 seed=int(row.evaluation_seed),
-                height=args.image_size, width=args.image_size)
+                height=args.image_size, width=args.image_size,
+                fast=fast_cfg)
         else:
             images = pipe(
                 str(row.prompt),
@@ -120,7 +131,8 @@ def _cmd(args) -> int:
                 guidance_scale=args.guidance_scale,
                 num_images_per_prompt=args.num_samples,
                 seed=int(row.evaluation_seed),
-                height=args.image_size, width=args.image_size)
+                height=args.image_size, width=args.image_size,
+                fast=fast_cfg)
         save_case_images(images, folder, row.case_number)
         n += 1
     print(f"generated {n} cases")

@@ -308,6 +308,7 @@ class HiDreamPipeline:
         height: int = 1024,
         width: int = 1024,
         negative_prompt: str | Sequence[str] | None = None,
+        fast=None,
     ) -> np.ndarray:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         n_prompts = len(prompts)
@@ -337,7 +338,7 @@ class HiDreamPipeline:
             num_images_per_prompt=num_images_per_prompt,
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, seed=seed,
-            height=height, width=width)
+            height=height, width=width, fast=fast)
 
     def generate_from_embeddings(
         self,
@@ -352,11 +353,27 @@ class HiDreamPipeline:
         seed: int = 0,
         height: int = 1024,
         width: int = 1024,
+        fast=None,
     ) -> np.ndarray:
         """Generate from precomputed embeddings (CFG-concatenated when
         ``do_cfg``: uncond rows first) — the staged path: encode,
         ``free_encoders()``, and the MoE DiT loads on first use into the
-        freed HBM."""
+        freed HBM.
+
+        ``fast``: optional ``sampler.FastConfig`` with a ``cfg_interval``
+        window — outside it, only the cond branch of the DiT runs (half
+        the batch). HiDream's protocol is 50 steps at CFG 5.0, so the
+        window halves most of the dominant MoE-DiT cost. DeepCache does
+        not apply to a DiT (no deep/shallow U-split): ``cache_interval``
+        must stay 1.
+        """
+        if fast is not None:
+            if fast.cache_interval != 1:
+                raise ValueError(
+                    "HiDream fast mode supports cfg_interval only "
+                    "(a DiT has no deep UNet levels to cache)")
+            if fast.cfg_interval is None or not do_cfg:
+                fast = None  # nothing to confine: share the exact path
         self._ensure_transformer()
         rows = t5_e.shape[0]
         bsz = rows // (2 if do_cfg else 1)
@@ -396,13 +413,13 @@ class HiDreamPipeline:
         )
         images = _hidream_generate_jit(
             self, plan, packed, t5_e, llama_e, pooled_e,
-            float(guidance_scale), do_cfg, (lh, lw))
+            float(guidance_scale), do_cfg, (lh, lw), fast)
         return np.asarray(images)
 
 
 @functools.lru_cache(maxsize=8)
 def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
-                               do_cfg, latent_hw):
+                               do_cfg, latent_hw, fast=None):
     lh, lw = latent_hw
     img_ids = make_img_ids(lh, lw)
 
@@ -411,24 +428,46 @@ def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
     def fn(params, vae_params, plan, packed, t5_e, llama_e, pooled_e,
            guidance_scale):
         sigmas = plan.tables["sigmas"]
+        bsz = packed.shape[0]
 
-        def body(carry, i):
-            lat, _ = carry
-            t = plan.timesteps[i]
-            lat_in = (jnp.concatenate([lat, lat], axis=0) if do_cfg else lat)
-            pred = hd_mod.apply(
-                params, lat_in, t5_e, llama_e, pooled_e,
-                jnp.broadcast_to(t, (lat_in.shape[0],)), img_ids, config)
-            v = -pred  # HiDream predicts the negated flow
-            if do_cfg:
-                unc, txt = jnp.split(v, 2, axis=0)
-                v = unc + guidance_scale * (txt - unc)
-            new = lat.astype(jnp.float32) + (
-                sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)
-            return (new.astype(lat.dtype), 0.0), None
+        def make_body(cond_only):
+            def body(carry, i):
+                lat, _ = carry
+                t = plan.timesteps[i]
+                if cond_only:  # CFG window: only the cond rows run
+                    lat_in = lat
+                    te, le, pe = t5_e[bsz:], llama_e[:, bsz:], pooled_e[bsz:]
+                else:
+                    lat_in = (jnp.concatenate([lat, lat], axis=0)
+                              if do_cfg else lat)
+                    te, le, pe = t5_e, llama_e, pooled_e
+                pred = hd_mod.apply(
+                    params, lat_in, te, le, pe,
+                    jnp.broadcast_to(t, (lat_in.shape[0],)), img_ids,
+                    config)
+                v = -pred  # HiDream predicts the negated flow
+                if do_cfg and not cond_only:
+                    unc, txt = jnp.split(v, 2, axis=0)
+                    v = unc + guidance_scale * (txt - unc)
+                new = lat.astype(jnp.float32) + (
+                    sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)
+                return (new.astype(lat.dtype), 0.0), None
+            return body
 
-        (final, _), _ = jax.lax.scan(
-            body, (packed, 0.0), jnp.arange(plan.num_calls))
+        total = plan.num_calls
+        if fast is not None:
+            lo = min(max(int(fast.cfg_interval[0]), 0), total)
+            hi = min(max(int(fast.cfg_interval[1]), lo), total)
+            segs = [s for s in ((0, lo, True), (lo, hi, False),
+                                (hi, total, True)) if s[1] > s[0]]
+        else:
+            segs = [(0, total, False)]
+        carry = (packed, 0.0)
+        for seg_start, seg_end, cond_only in segs:
+            carry, _ = jax.lax.scan(
+                make_body(cond_only), carry,
+                jnp.arange(seg_start, seg_end))
+        final = carry[0]
         lat = unpack_latents(final, lh, lw).astype(jnp.float32)
         lat = lat / vae_config.scaling_factor + vae_config.shift_factor
         imgs = vae_mod.decode(vae_params, lat.astype(packed.dtype),
@@ -440,7 +479,7 @@ def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
 
 
 def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
-                          guidance, do_cfg, latent_hw):
+                          guidance, do_cfg, latent_hw, fast=None):
     orig = packed.shape[0]
     mesh = getattr(pipe, "mesh", None)
     if mesh is not None:
@@ -470,7 +509,7 @@ def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),
         (packed.shape, str(packed.dtype)),
-        do_cfg, latent_hw)
+        do_cfg, latent_hw, fast)
     out = fn(pipe.transformer_params, pipe.vae_params, plan, packed,
              t5_e, llama_e, pooled_e, jnp.float32(guidance))
     return out[:orig]
