@@ -475,10 +475,9 @@ def bench_hidream(batch: int = 1, _tiny: bool = False,
             return step
 
         if cfg_window is not None:
-            lo = min(max(cfg_window[0], 0), n_steps)
-            hi = min(max(cfg_window[1], lo), n_steps)
-            segs = [s for s in ((0, lo, True), (lo, hi, False),
-                                (hi, n_steps, True)) if s[1] > s[0]]
+            from uce_tpu.diffusion.sampler import FastConfig
+
+            segs = FastConfig(cfg_interval=cfg_window).segments(n_steps)
         else:
             segs = [(0, n_steps, False)]
         z = x

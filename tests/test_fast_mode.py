@@ -374,3 +374,12 @@ def test_pipeline_fast_rejects_multi_branch_modes(pipe):
     with pytest.raises(ValueError):
         pipe("a cat", num_inference_steps=2, seed=1, height=32, width=32,
              mode="sld", fast=FastConfig(cache_interval=2))
+
+
+def test_fastconfig_from_spec_missing_colon_message():
+    """A cfg_interval without ':' must explain the lo:hi syntax instead
+    of raising a bare int('') ValueError."""
+    with pytest.raises(ValueError, match="lo:hi"):
+        FastConfig.from_spec("cfg_interval=5")
+    with pytest.raises(ValueError, match="lo:hi"):
+        FastConfig.from_spec("cfg_interval=5:")

@@ -321,3 +321,69 @@ def test_fast_ignored_without_cfg(tiny_hidream):
     base = pipe("a cat", **kw)
     fast = pipe("a cat", fast=FastConfig(cfg_interval=(0, 1)), **kw)
     np.testing.assert_array_equal(base, fast)
+
+
+def test_apply_mesh_defers_dit_load_on_staged(tmp_path_factory):
+    """apply_mesh on a staged pipeline must NOT force-load the MoE DiT:
+    staging's whole point is encoders-first, DiT into the vacated HBM
+    (uce_hidream_edit.py three-phase staging). The tensor/expert-parallel
+    layout applies when the DiT actually loads."""
+    from tests.snapshot import make_hidream_snapshot
+    from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
+    from uce_tpu.parallel import mesh as mesh_mod
+
+    root = make_hidream_snapshot(tmp_path_factory.mktemp("hd_mesh_snap"))
+    kw = dict(num_inference_steps=2, guidance_scale=2.0, seed=3,
+              height=16, width=16)
+
+    def staged_generate(pipe):
+        t5_c, ll_c, p_c = pipe.encode_prompts(["a cat"])
+        t5_u, ll_u, p_u = pipe.encode_prompts([""])
+        pipe.free_encoders()
+        return pipe.generate_from_embeddings(
+            jnp.concatenate([t5_u, t5_c], axis=0),
+            jnp.concatenate([ll_u, ll_c], axis=1),
+            jnp.concatenate([p_u, p_c], axis=0), do_cfg=True, **kw)
+
+    ref_pipe = HiDreamPipeline.from_pretrained(root, max_sequence_length=16,
+                                               staged=True)
+    ref = staged_generate(ref_pipe)
+
+    pipe = HiDreamPipeline.from_pretrained(root, max_sequence_length=16,
+                                           staged=True)
+    pipe.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    assert pipe.transformer_params is None  # memory contract preserved
+    got = staged_generate(pipe)
+    assert pipe.transformer_params is not None
+    # the deferred layout landed: some DiT param is sharded over 'model'
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(pipe.transformer_params)
+    assert any("model" in str(getattr(l, "sharding", "")) for l in leaves)
+    # padded-batch + TP is a different XLA program: allow the documented
+    # +-1 uint8 rounding (serving/server.py ladder caveat)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_apply_mesh_none_reverts_model_sharding(tiny_hidream):
+    """apply_mesh(None) gathers a model-sharded DiT back to one device,
+    as the docstring promises."""
+    import jax
+    from uce_tpu.parallel import mesh as mesh_mod
+
+    pipe, _ = tiny_hidream
+    kw = dict(num_inference_steps=2, guidance_scale=2.0, seed=3,
+              height=16, width=16)
+    base = pipe("a cat", **kw)
+    pipe.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    try:
+        meshed = pipe("a cat", **kw)
+    finally:
+        pipe.apply_mesh(None)
+    leaves = jax.tree_util.tree_leaves(pipe.transformer_params)
+    assert all(len(l.sharding.device_set) == 1 for l in leaves)
+    reverted = pipe("a cat", **kw)
+    # meshed is a different XLA program (padded batch + TP): +-1 level
+    assert np.abs(meshed.astype(int) - base.astype(int)).max() <= 1
+    # reverted runs the original single-device program again: bitwise
+    np.testing.assert_array_equal(base, reverted)

@@ -475,3 +475,23 @@ def test_hidream_pipeline_apply_mesh_matches_single():
     sharded = mp(["a", "b", "c"], seed=[1, 2, 3], **kw)
     assert sharded.shape == base.shape
     assert np.abs(base.astype(int) - sharded.astype(int)).max() <= 1
+
+
+def test_apply_mesh_none_reverts_unet_sharding(pipe):
+    """apply_mesh(None) must gather TP-sharded UNet params back to one
+    device (the docstring's revert promise), and generation afterwards
+    reproduces the pre-mesh program bitwise."""
+    base = pipe(["a"], num_inference_steps=2, seed=[1], height=32, width=32)
+    pipe.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    try:
+        sharded = any(
+            len(l.sharding.device_set) > 1
+            for l in jax.tree_util.tree_leaves(pipe.unet_params))
+        assert sharded
+    finally:
+        pipe.apply_mesh(None)
+    assert all(len(l.sharding.device_set) == 1
+               for l in jax.tree_util.tree_leaves(pipe.unet_params))
+    reverted = pipe(["a"], num_inference_steps=2, seed=[1],
+                    height=32, width=32)
+    np.testing.assert_array_equal(base, reverted)

@@ -34,10 +34,56 @@ _NORMS = {
 
 
 def _merged_state_dict(extractor):
+    """State dict of the extractor's ViT with LoRA adapters merged.
+
+    dreamsim versions differ in WHERE peft wraps the model (the whole
+    PerceptualModel, the extractor, or the inner ViT), so probe every
+    level for ``merge_and_unload``; afterwards HARD-FAIL if any LoRA
+    key survived — silently exporting un-merged base weights would
+    produce an ensemble that loads fine but computes non-DreamSim
+    distances."""
     model = extractor.model
-    if hasattr(model, "merge_and_unload"):  # peft LoRA wrapper
-        model = model.merge_and_unload()
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    for candidate in (model, extractor):
+        merge = getattr(candidate, "merge_and_unload", None)
+        if callable(merge):
+            model = merge()
+            break
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # peft prefixes merged models with base_model.model.
+    sd = {k.removeprefix("base_model.model."): v for k, v in sd.items()}
+    leftovers = [k for k in sd if "lora_" in k]
+    if leftovers:
+        raise SystemExit(
+            f"un-merged LoRA adapters in the checkpoint ({leftovers[:3]}"
+            " ...): this dreamsim version wraps peft at a level this tool "
+            "does not handle — merge_and_unload the PerceptualModel "
+            "before export")
+    return sd
+
+
+def _probe_num_heads(extractor, sd):
+    """Number of attention heads for the extractor's ViT.
+
+    Probe every module for a ``num_heads``/``nhead`` attribute (timm
+    and open_clip both carry one on the attention block); fall back to
+    embed_dim // 64 (the universal ViT head size) derived from the
+    patch-embedding weight rather than a hard-coded 12."""
+    import torch.nn as nn
+
+    root = extractor.model
+    if isinstance(root, nn.Module):
+        for mod in root.modules():
+            for attr in ("num_heads", "nhead"):
+                heads = getattr(mod, attr, None)
+                if isinstance(heads, int) and heads > 0:
+                    return heads
+    for key, v in sd.items():
+        if key.endswith("patch_embed.proj.weight"):
+            return max(1, v.shape[0] // 64)
+    raise SystemExit(
+        f"cannot determine num_heads for {type(extractor).__name__}: "
+        "no module exposes num_heads/nhead and no patch_embed weight "
+        "found — pass the value explicitly by editing the metadata")
 
 
 def main() -> int:
@@ -60,6 +106,9 @@ def main() -> int:
     model, _ = load_dreamsim(pretrained=True, device="cpu",
                              cache_dir=args.cache_dir,
                              dreamsim_type=args.dreamsim_type)
+    if callable(getattr(model, "merge_and_unload", None)):
+        # some dreamsim versions peft-wrap the whole PerceptualModel
+        model = model.merge_and_unload()
     tensors, meta = {}, {}
     names = []
     for extractor in model.extractor_list:
@@ -69,12 +118,7 @@ def main() -> int:
         sd = _merged_state_dict(extractor)
         for k, v in sd.items():
             tensors[f"{name}/{k}"] = np.asarray(v)
-        heads = None
-        for probe in ("num_heads", "nhead"):
-            heads = heads or getattr(
-                getattr(extractor.model, "blocks", [None])[0] and
-                extractor.model.blocks[0].attn, probe, None)
-        meta[f"{name}.num_heads"] = str(heads or 12)
+        meta[f"{name}.num_heads"] = str(_probe_num_heads(extractor, sd))
         family = next((f for f in _NORMS if name.startswith(f)), "dino")
         mean, std = _NORMS[family]
         meta[f"{name}.mean"] = ",".join(str(v) for v in mean)

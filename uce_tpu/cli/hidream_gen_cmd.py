@@ -56,6 +56,19 @@ def _cmd(args) -> int:
     from uce_tpu.diffusion.pipeline_hidream import HiDreamPipeline
     from uce_tpu.utils.imaging import save_case_images
 
+    fast_cfg = None
+    if args.fast:
+        # parse AND validate up front: a bad spec (typo, or cache=N —
+        # UNet-only, rejected for a DiT) must fail before the expensive
+        # staged quad-encoder pass, not after it
+        from uce_tpu.diffusion.sampler import FastConfig
+
+        fast_cfg = FastConfig.from_spec(args.fast)
+        if fast_cfg.cache_interval != 1:
+            raise SystemExit(
+                "generate-hidream --fast supports cfg_interval only "
+                "(a DiT has no deep UNet levels to cache)")
+
     pipe = HiDreamPipeline.from_pretrained(
         args.model_name, llama_dir=args.llama_path,
         max_sequence_length=args.max_sequence_length,
@@ -105,12 +118,6 @@ def _cmd(args) -> int:
         embeds = [jax.device_get(_encode_case(str(row.prompt)))
                   for row in rows]
         pipe.free_encoders()
-
-    fast_cfg = None
-    if args.fast:
-        from uce_tpu.diffusion.sampler import FastConfig
-
-        fast_cfg = FastConfig.from_spec(args.fast)
 
     n = 0
     for i, row in enumerate(rows):

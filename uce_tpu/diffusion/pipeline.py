@@ -102,10 +102,17 @@ class SDPipeline:
         parameters are additionally laid out tensor-parallel
         (``parallel/mesh.shard_unet_params``: head-sharded attention,
         column/row-parallel FFN) so XLA inserts the psums over ICI.
-        Pass ``None`` to go back to single-device execution.
+        Pass ``None`` to go back to single-device execution (batch
+        sharding stops, and model-sharded UNet params are gathered back
+        to the default device).
         """
-        self.mesh = mesh
-        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+        prev, self.mesh = self.mesh, mesh
+        if mesh is None:
+            if prev is not None and dict(prev.shape).get("model", 1) > 1:
+                self.unet_params = jax.device_put(self.unet_params,
+                                                  jax.devices()[0])
+            return
+        if dict(mesh.shape).get("model", 1) > 1:
             from uce_tpu.parallel.mesh import shard_unet_params
 
             self.unet_params = shard_unet_params(self.unet_params, mesh)

@@ -178,14 +178,25 @@ class FluxPipeline:
         'data' axis; a 'model' axis > 1 lays the DiT out tensor-parallel
         (parallel/mesh.shard_flux_params: head-sharded joint attention,
         column/row-parallel MLPs — num_attention_heads must divide by
-        it). Pass None to return to single-device execution."""
-        self.mesh = mesh
-        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+        it). On a staged pipeline the layout is deferred with the DiT
+        itself, preserving staging's memory contract. Pass None to
+        revert: batch sharding stops, and a model-sharded DiT is
+        gathered back to the default device."""
+        prev, self.mesh = self.mesh, mesh
+        if mesh is None:
+            if (prev is not None and dict(prev.shape).get("model", 1) > 1
+                    and self.transformer_params is not None):
+                self.transformer_params = jax.device_put(
+                    self.transformer_params, jax.devices()[0])
+            return
+        if (dict(mesh.shape).get("model", 1) > 1
+                and self.transformer_params is not None):
             from uce_tpu.parallel.mesh import shard_flux_params
 
-            self._ensure_transformer()
             self.transformer_params = shard_flux_params(
                 self.transformer_params, mesh)
+        # staged (params not loaded yet): _ensure_transformer lays the
+        # DiT out over self.mesh at load time
 
     def _ensure_transformer(self) -> None:
         if self.transformer_params is None:
@@ -198,6 +209,12 @@ class FluxPipeline:
             for path in self.pending_edits:
                 self.load_uce_edits(path)
             self.pending_edits = []
+            if (self.mesh is not None
+                    and dict(self.mesh.shape).get("model", 1) > 1):
+                from uce_tpu.parallel.mesh import shard_flux_params
+
+                self.transformer_params = shard_flux_params(
+                    self.transformer_params, self.mesh)
 
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize the DiT weights in place (models/quantize.py).

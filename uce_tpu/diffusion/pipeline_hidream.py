@@ -180,14 +180,26 @@ class HiDreamPipeline:
     def apply_mesh(self, mesh) -> None:
         """Multi-chip generation: image batch over the mesh 'data' axis;
         a 'model' axis > 1 lays the MoE DiT out tensor/expert-parallel
-        (parallel/mesh.shard_hidream_params). Pass None to revert."""
-        self.mesh = mesh
-        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+        (parallel/mesh.shard_hidream_params). On a staged pipeline the
+        layout is deferred with the DiT itself, preserving staging's
+        memory contract (encoders first, DiT into the vacated HBM).
+        Pass None to revert: batch sharding stops, and a model-sharded
+        DiT is gathered back to the default device."""
+        prev, self.mesh = self.mesh, mesh
+        if mesh is None:
+            if (prev is not None and dict(prev.shape).get("model", 1) > 1
+                    and self.transformer_params is not None):
+                self.transformer_params = jax.device_put(
+                    self.transformer_params, jax.devices()[0])
+            return
+        if (dict(mesh.shape).get("model", 1) > 1
+                and self.transformer_params is not None):
             from uce_tpu.parallel.mesh import shard_hidream_params
 
-            self._ensure_transformer()
             self.transformer_params = shard_hidream_params(
                 self.transformer_params, mesh)
+        # staged (params not loaded yet): _ensure_transformer lays the
+        # DiT out over self.mesh at load time
 
     def _ensure_transformer(self) -> None:
         if self.transformer_params is None:
@@ -200,6 +212,12 @@ class HiDreamPipeline:
             for path in self.pending_edits:
                 self.load_uce_edits(path)
             self.pending_edits = []
+            if (self.mesh is not None
+                    and dict(self.mesh.shape).get("model", 1) > 1):
+                from uce_tpu.parallel.mesh import shard_hidream_params
+
+                self.transformer_params = shard_hidream_params(
+                    self.transformer_params, self.mesh)
 
     def quantize_weights(self, mode: str = "w8") -> None:
         """Quantize the MoE DiT weights in place (models/quantize.py).
@@ -455,13 +473,8 @@ def _compiled_hidream_generate(config, vae_config, plan_key, shape_key,
             return body
 
         total = plan.num_calls
-        if fast is not None:
-            lo = min(max(int(fast.cfg_interval[0]), 0), total)
-            hi = min(max(int(fast.cfg_interval[1]), lo), total)
-            segs = [s for s in ((0, lo, True), (lo, hi, False),
-                                (hi, total, True)) if s[1] > s[0]]
-        else:
-            segs = [(0, total, False)]
+        segs = (fast.segments(total) if fast is not None
+                else [(0, total, False)])
         carry = (packed, 0.0)
         for seg_start, seg_end, cond_only in segs:
             carry, _ = jax.lax.scan(

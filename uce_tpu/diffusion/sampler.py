@@ -68,6 +68,20 @@ class FastConfig:
     def is_noop(self) -> bool:
         return self.cfg_interval is None and self.cache_interval == 1
 
+    def segments(self, total: int) -> list:
+        """Split ``total`` scheduler calls into up to three statically
+        shaped scan segments ``(start, end, cond_only)``: cond-only
+        before the CFG window, guided inside it, cond-only after. The
+        single source of truth for the window semantics — used by the
+        SD sampler, the HiDream pipeline, and bench.py (``lo``/``hi``
+        are clamped into ``[0, total]``; empty segments are dropped)."""
+        if self.cfg_interval is None:
+            return [(0, total, False)]
+        lo = min(max(int(self.cfg_interval[0]), 0), total)
+        hi = min(max(int(self.cfg_interval[1]), lo), total)
+        return [s for s in ((0, lo, True), (lo, hi, False),
+                            (hi, total, True)) if s[1] > s[0]]
+
     @classmethod
     def from_spec(cls, spec: str) -> "FastConfig":
         """Parse the CLI spec: ``cfg_interval=lo:hi,cache=N,level=L``.
@@ -83,7 +97,11 @@ class FastConfig:
             key, _, val = part.partition("=")
             key, val = key.strip(), val.strip()
             if key == "cfg_interval":
-                lo, _, hi = val.partition(":")
+                lo, colon, hi = val.partition(":")
+                if not colon or not lo.strip() or not hi.strip():
+                    raise ValueError(
+                        f"cfg_interval wants 'lo:hi' (got {val!r}), "
+                        "e.g. cfg_interval=5:30")
                 kw["cfg_interval"] = (int(lo), int(hi))
             elif key == "cache":
                 kw["cache_interval"] = int(val)
@@ -180,13 +198,7 @@ def denoise_fast(
     bsz = latents.shape[0]
     total = plan.num_calls
     n_cache = fast.cache_interval
-    if fast.cfg_interval is None:
-        segs = [(0, total, False)]
-    else:
-        lo = min(max(int(fast.cfg_interval[0]), 0), total)
-        hi = min(max(int(fast.cfg_interval[1]), lo), total)
-        segs = [s for s in ((0, lo, True), (lo, hi, False), (hi, total, True))
-                if s[1] > s[0]]
+    segs = fast.segments(total)
 
     lat = latents
     deep = None
