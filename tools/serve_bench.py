@@ -122,6 +122,13 @@ def main() -> int:
                     help="batch-fill linger once a request arrives; "
                          "small = latency mode, ~batch/rate = "
                          "throughput mode")
+    ap.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                    help="serve with the beyond-protocol fast path "
+                         "(FastConfig.from_spec, e.g. "
+                         "'cfg_interval=5:30,cache=2')")
+    ap.add_argument("--pin_rung", action="store_true",
+                    help="pad every batch into the top rung "
+                         "(bit-reproducible ladder)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny-config CPU smoke of the harness (forces "
                          "the cpu backend; not a measurement)")
@@ -147,6 +154,7 @@ def main() -> int:
         batch_sizes=tuple(int(s) for s in args.batch_sizes.split(",")
                           if s.strip())
         if args.batch_sizes else (),
+        fast=args.fast, pin_rung=args.pin_rung,
     )
     runs = []
     for entry in (r.strip() for r in args.rates.split(",") if r.strip()):
