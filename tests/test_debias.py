@@ -380,3 +380,39 @@ def test_closed_loop_accumulates_toward_far_setpoint(real_clip_rig):
     assert acc[0, 0] > 0 and acc[0, 1] < 0
     assert acc[0, 0] == pytest.approx(
         sum(h["ratios"][0, 0] for h in history))
+
+
+def test_debias_loop_accepts_fast_config(tmp_path):
+    """run_debias(fast=...) routes the measurement generations through
+    the CFG-window/DeepCache path; the loop's control flow (telemetry,
+    convergence, export) is unchanged."""
+    import jax.numpy as jnp
+
+    from tests.snapshot import make_sd_snapshot
+    from uce_tpu.diffusion.pipeline import SDPipeline
+    from uce_tpu.diffusion.sampler import FastConfig
+    from uce_tpu.edit.debias import run_debias
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+    pipe = SDPipeline.from_pretrained(str(snap), dtype=jnp.float32)
+
+    class StubClip:
+        def __init__(self):
+            self.calls = 0
+
+        def classify(self, images, labels):
+            self.calls += 1
+            n = images.shape[0]
+            if self.calls == 1:
+                return np.zeros(n, np.int64)
+            return np.arange(n) % 2
+
+    weights, acc, history = run_debias(
+        pipe, StubClip(), ["doctor"], ["male", "female"],
+        settings=DebiasSettings(num_images_per_prompt=4,
+                                num_inference_steps=3, max_iterations=3),
+        save_dir=str(tmp_path), exp_name="deb_fast", image_size=32,
+        verbose=False, fast=FastConfig(cfg_interval=(1, 2), cache_interval=2),
+    )
+    assert (tmp_path / "deb_fast.safetensors").exists()
+    assert history[-1]["ratios"].max() == 0

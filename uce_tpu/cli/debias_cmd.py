@@ -41,6 +41,11 @@ def register_cli(sub) -> None:
                    help="multi-chip mesh 'data=N[,model=M]': the loop's "
                         "per-concept image batches (the wall-clock-dominant "
                         "cost, SURVEY §3.2) shard over the data axis")
+    p.add_argument("--fast", type=str, default=None, metavar="SPEC",
+                   help="beyond-protocol fast path for the measurement "
+                        "generations, e.g. 'cfg_interval=5:30,cache=2' "
+                        "(the controller reads CLIP ratios, not pixels; "
+                        "still opt-in — see docs/PERF.md 'Fast mode')")
     p.set_defaults(func=_cmd)
 
 
@@ -84,9 +89,14 @@ def _cmd(args) -> int:
         edit_scale=args.edit_scale, preserve_scale=args.preserve_scale,
         lamb=args.lamb,
     )
+    fast_cfg = None
+    if args.fast:
+        from uce_tpu.diffusion.sampler import FastConfig
+
+        fast_cfg = FastConfig.from_spec(args.fast)
     run_debias(pipe, clip_model, edit_concepts, debias_concepts,
                preserve_concepts, settings=settings, save_dir=args.save_dir,
                exp_name=args.exp_name, image_size=args.image_size,
                snapshot_every=args.snapshot_every,
-               telemetry_path=args.telemetry_path)
+               telemetry_path=args.telemetry_path, fast=fast_cfg)
     return 0

@@ -181,6 +181,7 @@ def run_debias(
     snapshot_every: int | None = None,
     verbose: bool = True,
     telemetry_path: str | None = None,
+    fast=None,
 ):
     """On-device closed loop for SD pipelines.
 
@@ -190,6 +191,11 @@ def run_debias(
     clip_model: ``uce_tpu.models.clip.CLIPModel``.
     resources: optional preloaded ``SDEditResources`` (defaults to the
     pipeline's own encoder + targets derived from its UNet).
+    fast: optional ``sampler.FastConfig`` for the measurement
+    generations (the loop's dominant cost). The controller only reads
+    CLIP class ratios off the images, so the fast path's pixel-level
+    perturbation is a second-order effect on the feedback signal — but
+    it IS beyond the reference protocol, so it stays opt-in.
     """
     from uce_tpu.models import unet as unet_mod
 
@@ -224,6 +230,7 @@ def run_debias(
             num_images_per_prompt=n_img,
             seed=debias_measure_seeds(edit_concepts),
             height=image_size, width=image_size,
+            fast=fast,
         )
         pred = np.asarray(clip_model.classify(images, labels))
         observed = np.zeros((len(edit_concepts), len(debias_concepts)))
