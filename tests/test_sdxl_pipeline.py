@@ -130,3 +130,34 @@ def test_sdxl_debias_loop(sdxl_pipe, tmp_path):
     # every edited weight has the dual-encoder input dim (24 + 16 = 40)
     for k, v in weights.items():
         assert v.shape[-1] == 40, k
+
+
+def test_sdxl_fast_full_window_noop_is_bitwise(sdxl_pipe):
+    """SDXL threads added_cond through the fast path; a no-op window +
+    cache=1 must share the exact program bitwise."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    kw = dict(num_inference_steps=3, seed=5, height=32, width=32,
+              scheduler="ddim", guidance_scale=7.5)
+    base = sdxl_pipe("a cat", **kw)
+    noop = sdxl_pipe("a cat", fast=FastConfig(cfg_interval=None,
+                                              cache_interval=1), **kw)
+    np.testing.assert_array_equal(base, noop)
+
+
+def test_sdxl_fast_window_and_cache_run(sdxl_pipe):
+    """CFG window + DeepCache on SDXL: the cond-only segments must slice
+    the added conditioning (text_embeds/time_ids) along with context —
+    a shape mismatch there fails at trace time."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    kw = dict(num_inference_steps=4, seed=5, height=32, width=32,
+              scheduler="ddim", guidance_scale=7.5)
+    base = sdxl_pipe("a cat", **kw)
+    fast = sdxl_pipe("a cat", fast=FastConfig(cfg_interval=(1, 3),
+                                              cache_interval=2), **kw)
+    assert fast.shape == base.shape and fast.dtype == np.uint8
+    assert (fast != base).any()
+    again = sdxl_pipe("a cat", fast=FastConfig(cfg_interval=(1, 3),
+                                               cache_interval=2), **kw)
+    np.testing.assert_array_equal(fast, again)
