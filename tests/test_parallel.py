@@ -495,3 +495,25 @@ def test_apply_mesh_none_reverts_unet_sharding(pipe):
     reverted = pipe(["a"], num_inference_steps=2, seed=[1],
                     height=32, width=32)
     np.testing.assert_array_equal(base, reverted)
+
+
+def test_mesh_and_fast_compose(pipe):
+    """Data+model sharding and the CFG-window/DeepCache path interact
+    (segmented scans over sharded params/batch); the composition must
+    execute and stay deterministic."""
+    from uce_tpu.diffusion.sampler import FastConfig
+
+    fc = FastConfig(cfg_interval=(1, 3), cache_interval=2)
+    kw = dict(num_inference_steps=4, seed=[1, 2, 3, 4],
+              height=32, width=32, guidance_scale=7.5)
+    base = pipe(["a", "b", "c", "d"], fast=fc, **kw)
+    pipe.apply_mesh(mesh_mod.make_mesh(n_data=4, n_model=2))
+    try:
+        meshed = pipe(["a", "b", "c", "d"], fast=fc, **kw)
+        again = pipe(["a", "b", "c", "d"], fast=fc, **kw)
+    finally:
+        pipe.apply_mesh(None)
+    assert meshed.shape == base.shape and meshed.dtype == np.uint8
+    # TP is a different XLA program: the documented +-1 uint8 band
+    assert np.abs(meshed.astype(int) - base.astype(int)).max() <= 1
+    np.testing.assert_array_equal(meshed, again)
