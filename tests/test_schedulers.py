@@ -168,3 +168,56 @@ def test_plan_from_hf_flow_match_dynamic_shifting_mu():
     base = np.linspace(1.0, 0.25, 4)
     expect = np.exp(1.15) / (np.exp(1.15) + 1.0 / base - 1.0)
     np.testing.assert_allclose(s_dyn[:4], expect, rtol=1e-5)
+
+
+def test_plan_from_hf_rejects_unimplemented_math_options():
+    """Config keys that change the step math must fail LOUDLY instead of
+    silently diverging from diffusers (the fixed-seed parity contract)."""
+    import pytest
+
+    base = {"_class_name": "PNDMScheduler", "skip_prk_steps": True}
+    with pytest.raises(ValueError, match="prediction_type"):
+        schedulers.plan_from_hf(dict(base, prediction_type="sample"), 5)
+    with pytest.raises(ValueError, match="skip_prk_steps"):
+        schedulers.plan_from_hf(dict(base, skip_prk_steps=False), 5)
+    with pytest.raises(ValueError, match="trained_betas"):
+        schedulers.plan_from_hf(dict(base, trained_betas=[0.1, 0.2]), 5)
+    with pytest.raises(ValueError, match="thresholding"):
+        schedulers.plan_from_hf(dict(base, thresholding=True), 5)
+    with pytest.raises(ValueError, match="karras"):
+        schedulers.plan_from_hf(
+            {"_class_name": "EulerDiscreteScheduler",
+             "use_karras_sigmas": True}, 5)
+    with pytest.raises(ValueError, match="clip_sample"):
+        schedulers.plan_from_hf(
+            {"_class_name": "DDIMScheduler", "clip_sample": True}, 5)
+    with pytest.raises(ValueError, match="interpolation_type"):
+        schedulers.plan_from_hf(
+            {"_class_name": "EulerDiscreteScheduler",
+             "interpolation_type": "log_linear"}, 5)
+
+
+def test_plan_from_hf_ddim_set_alpha_to_one_class_default():
+    """A DDIM-class config MISSING set_alpha_to_one follows the diffusers
+    class default (True); SD-family configs carry an explicit False."""
+    import numpy as np
+
+    missing = schedulers.plan_from_hf({"_class_name": "DDIMScheduler"}, 4)
+    explicit = schedulers.plan_from_hf(
+        {"_class_name": "DDIMScheduler", "set_alpha_to_one": False}, 4)
+    a_missing = np.asarray(missing.tables["alpha_prev"])[-1]
+    a_explicit = np.asarray(explicit.tables["alpha_prev"])[-1]
+    assert a_missing == 1.0
+    assert a_explicit < 1.0
+
+
+def test_scale_model_input_preserves_latent_dtype():
+    """lms/euler latent scaling must not promote bf16 latents to fp32 —
+    that crashed the bf16 generation path at the UNet's first conv."""
+    import jax.numpy as jnp
+
+    plan = schedulers.make_plan("lms", 4)
+    x = jnp.ones((1, 8, 8, 4), jnp.bfloat16)
+    assert plan.scale_model_input(x, 0).dtype == jnp.bfloat16
+    x32 = jnp.ones((1, 8, 8, 4), jnp.float32)
+    assert plan.scale_model_input(x32, 0).dtype == jnp.float32

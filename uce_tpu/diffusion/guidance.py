@@ -111,6 +111,11 @@ def debias_vl_pair_matrix(z_i: np.ndarray, z_j: np.ndarray) -> np.ndarray:
 def debias_vl_calibration(embeddings: np.ndarray, pairs,
                           lam: float = 500.0) -> np.ndarray:
     """P = (lam * mean_pairs A + I)^-1 (debiasing_vl.py:18-23,76-79)."""
+    if not len(pairs):
+        raise ValueError(
+            "debias_vl_calibration needs at least one concept pair "
+            "(empty --concepts?); dividing by zero pairs would produce "
+            "a NaN projection that silently corrupts every embedding")
     d = embeddings.shape[1]
     m = np.zeros((d, d))
     for i, j in pairs:

@@ -74,7 +74,10 @@ class Plan:
     def scale_model_input(self, x, i):
         if self.kind in ("lms", "euler"):
             sigma = self.tables["sigmas"][i]
-            return x / jnp.sqrt(sigma ** 2 + 1.0)
+            # scale in fp32 (tables are fp32) but return the MODEL input
+            # dtype: promoting bf16 latents here used to crash the bf16
+            # lms/euler path at the UNet's first conv (dtype mismatch)
+            return (x / jnp.sqrt(sigma ** 2 + 1.0)).astype(x.dtype)
         return x
 
     def step(self, eps, i, sample, carry):
@@ -425,6 +428,47 @@ def plan_from_hf_as(name: str, cfg: Mapping, num_steps: int) -> Plan:
     return plan_from_hf(dict(cfg, _class_name=cls), num_steps)
 
 
+def _reject_unsupported_hf_options(cfg: Mapping, cls: str) -> None:
+    """Fail LOUDLY on diffusers config options that change the step math
+    but are not implemented here — silently ignoring them would break the
+    module's fixed-seed parity contract (tests/torch_pipeline_mirror.py).
+    SD-family configs (the reference's models) pass untouched: they set
+    clip_sample=false, skip_prk_steps=true, no karras/thresholding."""
+    pred = cfg.get("prediction_type", "epsilon")
+    if pred not in ("epsilon", "v_prediction"):
+        raise ValueError(
+            f"prediction_type {pred!r} is not implemented (epsilon / "
+            "v_prediction only); stepping it as epsilon would produce "
+            "noise")
+    if cfg.get("trained_betas") is not None:
+        raise ValueError("trained_betas tables are not supported; plans "
+                         "derive betas from beta_schedule")
+    if cfg.get("thresholding", False):
+        raise ValueError("dynamic thresholding is not implemented")
+    if cfg.get("use_karras_sigmas", False):
+        raise ValueError("use_karras_sigmas is not implemented "
+                         "(linear-interpolated sigma tables only)")
+    if cls == "DDIMScheduler" and cfg.get("clip_sample", False):
+        # This module's DDIM (and its oracle, torch_pipeline_mirror.py)
+        # implements the SD convention clip_sample=False; a config that
+        # explicitly asks for per-step x0 clamping must fail loudly.
+        # (Missing key = False here: SD configs are PNDM-sourced, and the
+        # diffusers class default of True is a known trap when switching
+        # SD to DDIM.)
+        raise ValueError(
+            "DDIM clip_sample=true (per-step x0 clamping) is not "
+            "implemented; this module follows the SD convention "
+            "clip_sample=false")
+    if cls == "PNDMScheduler" and not cfg.get("skip_prk_steps", True):
+        raise ValueError(
+            "PNDM with Runge-Kutta warmup (skip_prk_steps=false) is not "
+            "implemented — only the PLMS path SD uses")
+    if cls == "EulerDiscreteScheduler" and \
+            cfg.get("interpolation_type", "linear") != "linear":
+        raise ValueError("EulerDiscrete interpolation_type "
+                         f"{cfg['interpolation_type']!r} is not implemented")
+
+
 def plan_from_hf(cfg: Mapping, num_steps: int,
                  mu: float | None = None) -> Plan:
     """Build a plan from a diffusers scheduler_config.json dict.
@@ -435,6 +479,7 @@ def plan_from_hf(cfg: Mapping, num_steps: int,
     ignored for other classes. Dynamic-shifting configs without a ``mu``
     fall back to the static shift with a warning."""
     cls = cfg.get("_class_name", "PNDMScheduler")
+    _reject_unsupported_hf_options(cfg, cls)
     common = dict(
         num_train_timesteps=cfg.get("num_train_timesteps", 1000),
         beta_start=cfg.get("beta_start", 0.00085),
@@ -447,8 +492,11 @@ def plan_from_hf(cfg: Mapping, num_steps: int,
                          set_alpha_to_one=cfg.get("set_alpha_to_one", False),
                          **common)
     if cls == "DDIMScheduler":
+        # diffusers' DDIMScheduler CLASS default for set_alpha_to_one is
+        # True (SD-family configs carry an explicit False); mirror that
+        # for configs missing the key
         return ddim_plan(num_steps, steps_offset=cfg.get("steps_offset", 1),
-                         set_alpha_to_one=cfg.get("set_alpha_to_one", False),
+                         set_alpha_to_one=cfg.get("set_alpha_to_one", True),
                          **common)
     if cls == "LMSDiscreteScheduler":
         return lms_plan(num_steps, **common)

@@ -151,9 +151,8 @@ def dot_product_attention(
     # d=40: 11.1 vs 13.8 ms; s=1024 d=80: 2.2 vs 2.9 ms at CFG batch 16).
     # Cross-attention (kv=77) and s=256 measured SLOWER than XLA (tiny kv
     # blocks underfill the lanes) — those stay on the XLA path.
-    use_sdk = impl == "sdk" or (
-        impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
-    )
+    auto_long_self = (q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2])
+    use_sdk = impl == "sdk" or (impl == "auto" and auto_long_self)
     kernel_failed = False
     if (use_sdk and not force_xla and mask is None and not causal
             and jax.default_backend() == "tpu"):
@@ -170,15 +169,21 @@ def dot_product_attention(
     # and as the degradation path when an explicitly requested sdk kernel
     # failed at runtime (better than dropping straight to XLA).
     use_flash = impl == "flash" or kernel_failed or (
-        impl == "auto" and q.shape[-2] >= 1024 and q.shape[-2] == k.shape[-2]
-    )
+        impl == "auto" and auto_long_self)
     if (use_flash and not force_xla and mask is None and not causal
             and jax.default_backend() == "tpu"):
         try:
             return _flash_attention(q, k, v, scale).astype(q.dtype)
         except (ValueError, NotImplementedError, RuntimeError) as exc:
-            # Pallas lowering errors (ValueError/NotImplementedError) and
-            # Mosaic compile failures (XlaRuntimeError <: RuntimeError).
+            # Pallas lowering errors (ValueError/NotImplementedError) and,
+            # in EAGER use, Mosaic compile failures (XlaRuntimeError <:
+            # RuntimeError). Under an outer jit (the pipelines) the
+            # pallas_call is only STAGED here — a Mosaic failure then
+            # surfaces at the outer program's compile, outside this
+            # except, and aborts it with the Mosaic error; the escape
+            # hatch is UCE_ATTN_IMPL=xla. The sdk kernel's supported()
+            # VMEM gate exists precisely to keep the default 'auto'
+            # routing away from shapes that could fail that way.
             _warn_flash_fallback(exc)
             kernel_failed = True
     if impl in ("flash", "sdk") and not force_xla and not kernel_failed:

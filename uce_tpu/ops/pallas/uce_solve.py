@@ -138,8 +138,12 @@ def uce_edit_matrix_pallas(
     c_pres = jnp.asarray(c_pres, jnp.float32)
 
     def pad8(x):
+        # pad to a multiple of 8 sublanes; an EMPTY stack still needs 8
+        # zero rows so the kernel sees a well-formed (all-zero) block
         r = (-x.shape[0]) % 8
-        return jnp.pad(x, ((0, max(r, 8 if x.shape[0] == 0 else r)), (0, 0)))
+        if x.shape[0] == 0:
+            r = 8
+        return jnp.pad(x, ((0, r), (0, 0)))
 
     c_edit_p, c_pres_p = pad8(c_edit), pad8(c_pres)
     scalars = jnp.asarray([lamb, erase_scale, preserve_scale], jnp.float32)

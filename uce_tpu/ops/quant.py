@@ -133,13 +133,16 @@ def qconv2d(x: jnp.ndarray, qk: dict, b: jnp.ndarray | None = None,
             # convs; zero pads are exact in the quantized domain (0 -> 0).
             xq = jnp.pad(xq, ((0, 0), (padding, padding),
                               (padding, padding), (0, 0)))
+        if stride != 1:
+            # a strided 1x1 conv only ever reads the strided grid — slice
+            # BEFORE the matmul (exact; saves stride^2 x the int8 MXU
+            # work and the full-resolution int32 intermediate)
+            xq = xq[:, ::stride, ::stride]
         y = jax.lax.dot_general(
             xq, k.reshape(cin, cout),
             dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        if stride != 1:
-            y = y[:, ::stride, ::stride]
     else:
         xp = jnp.pad(xq, ((0, 0), (padding, padding), (padding, padding),
                           (0, 0)))
