@@ -416,3 +416,19 @@ def test_debias_loop_accepts_fast_config(tmp_path):
     )
     assert (tmp_path / "deb_fast.safetensors").exists()
     assert history[-1]["ratios"].max() == 0
+
+
+def test_run_debias_validates_ratio_length_early(tmp_path):
+    """A desired_ratios/debias_concepts mismatch must fail before any
+    generation, not at the broadcast after the first measurement pass."""
+    import jax.numpy as jnp
+
+    from tests.snapshot import make_sd_snapshot
+    from uce_tpu.diffusion.pipeline import SDPipeline
+    from uce_tpu.edit.debias import run_debias
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+    pipe = SDPipeline.from_pretrained(str(snap), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="desired_ratios"):
+        run_debias(pipe, None, ["doctor"], ["white", "black", "asian"],
+                   settings=DebiasSettings())  # default = 2 ratios

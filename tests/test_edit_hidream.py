@@ -96,3 +96,14 @@ def test_run_erase_exports(tmp_path):
 
     loaded = load_file(tmp_path / "hd.safetensors")
     assert set(loaded) == set(res.targets)
+
+
+def test_load_resources_requires_local_llama_dir():
+    """llama_dir=None must give the clear 'pass llama_dir' error, not a
+    FileNotFoundError on the hub repo id used as a path."""
+    import pytest
+
+    from uce_tpu.edit.hidream import load_resources
+
+    with pytest.raises(ValueError, match="llama_dir"):
+        load_resources("/nonexistent/model", llama_dir=None)

@@ -195,3 +195,18 @@ def test_imageclassify_fixed_bug(tmp_path, rng):
         assert bool(df["correct"].iloc[0])
     finally:
         ic.resnet50_logits = orig
+
+
+def test_stack_uniform_mixed_resolutions():
+    """An eval folder with mixed image sizes (re-runs with a different
+    --image_size) must not crash the batch stack; stragglers resize to
+    the leading shape, and a homogeneous batch is a plain np.stack."""
+    from uce_tpu.utils.imaging import stack_uniform
+
+    a = np.full((32, 32, 3), 10, np.uint8)
+    b = np.full((64, 64, 3), 20, np.uint8)
+    out = stack_uniform([a, b])
+    assert out.shape == (2, 32, 32, 3)
+    assert (out[1] == 20).all()  # constant image survives the resize
+    same = stack_uniform([a, a.copy()])
+    np.testing.assert_array_equal(same, np.stack([a, a]))

@@ -517,3 +517,10 @@ def test_mesh_and_fast_compose(pipe):
     # TP is a different XLA program: the documented +-1 uint8 band
     assert np.abs(meshed.astype(int) - base.astype(int)).max() <= 1
     np.testing.assert_array_equal(meshed, again)
+
+
+def test_mesh_from_spec_validates_sizes():
+    with pytest.raises(ValueError, match="model=M"):
+        mesh_mod.mesh_from_spec("model=0")
+    with pytest.raises(ValueError, match="data=N"):
+        mesh_mod.mesh_from_spec("data=-1")

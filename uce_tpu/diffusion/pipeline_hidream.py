@@ -149,6 +149,11 @@ class HiDreamPipeline:
                     if os.path.isdir(os.path.join(model_dir, "tokenizer_4"))
                     else llama_dir)
         ltok = AutoTokenizer.from_pretrained(ltok_dir)
+        if ltok.pad_token is None:
+            # stock Llama-3.1 has no pad token; padding='max_length'
+            # would raise (diffusers' pipeline substitutes eos the same
+            # way before batching)
+            ltok.pad_token = ltok.eos_token
 
         vcfg = vae_mod.VAEConfig.from_hf(
             load_json(os.path.join(model_dir, "vae", "config.json")))

@@ -200,6 +200,13 @@ def run_debias(
     from uce_tpu.models import unet as unet_mod
 
     settings = settings or DebiasSettings()
+    if len(settings.desired_ratios) != len(debias_concepts):
+        # fail BEFORE the first generate+classify pass (minutes of device
+        # time), not at the ratio broadcast after it
+        raise ValueError(
+            f"desired_ratios has {len(settings.desired_ratios)} entries "
+            f"for {len(debias_concepts)} debias concepts — they must "
+            "match (the CLI validates this; library callers hit it here)")
     start = time.time()
 
     if resources is None:

@@ -59,7 +59,19 @@ def load_resources(model_dir: str, llama_dir: str | None = None,
                    max_sequence_length: int = 128) -> HiDreamEditResources:
     from transformers import AutoTokenizer
 
-    llama_dir = llama_dir or DEFAULT_LLAMA_ID
+    if llama_dir is None:
+        # same fallback as pipeline_hidream.from_pretrained: an
+        # in-snapshot text_encoder_4 serves as the Llama encoder
+        cand = os.path.join(model_dir, "text_encoder_4")
+        if os.path.isdir(cand):
+            llama_dir = cand
+        else:
+            raise ValueError(
+                "HiDream edits need the Llama-3.1 encoder: pass "
+                f"llama_dir (a LOCAL snapshot of {DEFAULT_LLAMA_ID} — "
+                "the reference downloads it from the hub, "
+                "uce_hidream_edit.py:44-50; this environment is "
+                "zero-egress)")
     targets = load_state_dict(
         model_dir, "transformer",
         keys=sd_targets.is_hidream_caption_projection, dtype=np.float32)
@@ -75,6 +87,11 @@ def load_resources(model_dir: str, llama_dir: str | None = None,
                         dtype=np.float32),
         llama_cfg)
     llama_tok = AutoTokenizer.from_pretrained(llama_dir)
+    if llama_tok.pad_token is None:
+        # stock Llama-3.1 ships without a pad token; padding='max_length'
+        # would raise. diffusers' HiDreamImagePipeline does the same
+        # eos-as-pad substitution before batching.
+        llama_tok.pad_token = llama_tok.eos_token
 
     t5_cfg = t5_mod.T5Config.from_hf(
         load_json(os.path.join(model_dir, "text_encoder_3", "config.json")))

@@ -34,7 +34,7 @@ def classify_folder(
     till_case: int = 1_000_000,
     batch_size: int = 32,
 ) -> pd.DataFrame:
-    from uce_tpu.utils.imaging import load_image
+    from uce_tpu.utils.imaging import load_image, stack_uniform
 
     names = sorted_nicely(
         [n for n in os.listdir(image_folder) if n.endswith(".png")])
@@ -44,7 +44,7 @@ def classify_folder(
     def flush():
         if not batch_imgs:
             return
-        imgs = np.stack(batch_imgs)
+        imgs = stack_uniform(batch_imgs)
         pred = clip_model.classify(imgs, attributes)
         for (case, num), p in zip(batch_meta, pred):
             one_hot = np.zeros(len(attributes))

@@ -49,7 +49,7 @@ def classify_folder(
     with the prompts CSV. ``categories`` maps class index -> name (the
     reference uses torchvision weight metadata); indexes are used as names
     when absent."""
-    from uce_tpu.utils.imaging import load_image
+    from uce_tpu.utils.imaging import load_image, stack_uniform
 
     rows, batch, meta = [], [], []
 
@@ -57,7 +57,7 @@ def classify_folder(
         if not batch:
             return
         logits = np.asarray(resnet50_logits(
-            params, preprocess_imagenet(np.stack(batch))))
+            params, preprocess_imagenet(stack_uniform(batch))))
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
         top = np.argsort(-probs, axis=-1)[:, :topk]

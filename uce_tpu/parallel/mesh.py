@@ -49,9 +49,15 @@ def mesh_from_spec(spec: str, devices=None) -> Mesh:
         key, _, val = part.partition("=")
         key, val = key.strip(), val.strip()
         if key == "data":
+            if int(val) < 0:
+                raise ValueError("--mesh data=N must be >= 0 "
+                                 "(0 = all remaining devices)")
             n_data = int(val) or None
         elif key == "model":
             n_model = int(val)
+            if n_model < 1:
+                raise ValueError("--mesh model=M must be >= 1 "
+                                 "(1 = no tensor parallelism)")
         else:
             raise ValueError(
                 f"unknown --mesh key {key!r} (expected data=N, model=M)")

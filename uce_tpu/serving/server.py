@@ -195,17 +195,26 @@ class GenerationServer:
                 return
             self._closed = True
             self._queue.put(None)
+        alive = False
         if self._thread is not None:
             self._thread.join(timeout=600)
+            alive = self._thread.is_alive()
         # fail any request that raced past the sentinel instead of leaving
         # its Future pending forever
+        drained = []
         while True:
             try:
-                req = self._queue.get_nowait()
+                drained.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        for req in drained:
             if req is not None and not req.future.done():
                 req.future.set_exception(RuntimeError("server is closed"))
+        if alive and None in drained:
+            # join timed out with the batcher still inside a batch and the
+            # drain stole its shutdown sentinel — give it back, or the
+            # batcher blocks forever in _gather once it finishes
+            self._queue.put(None)
 
     def __enter__(self) -> "GenerationServer":
         return self.start()

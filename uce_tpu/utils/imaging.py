@@ -61,6 +61,24 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def stack_uniform(images: list[np.ndarray]) -> np.ndarray:
+    """np.stack that tolerates mixed resolutions in an eval folder (e.g.
+    re-runs with a different --image_size into the same directory):
+    stragglers are PIL-bilinear-resized to the FIRST image's shape. The
+    homogeneous path (the normal case) is a plain np.stack — numerics
+    untouched."""
+    h, w = images[0].shape[:2]
+    if all(im.shape[:2] == (h, w) for im in images):
+        return np.stack(images)
+    from PIL import Image
+
+    return np.stack([
+        im if im.shape[:2] == (h, w)
+        else np.asarray(Image.fromarray(im).resize((w, h),
+                                                   Image.BILINEAR))
+        for im in images])
+
+
 def case_image_path(folder: str, case_number, num: int) -> str:
     return os.path.join(folder, f"{case_number}_{num}.png")
 
