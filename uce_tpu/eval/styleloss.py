@@ -62,12 +62,19 @@ def style_content_loss(params: dict, image: jnp.ndarray,
     return STYLE_WEIGHT * style, CONTENT_WEIGHT * content
 
 
-def _prep(path: str, size: int = 64) -> np.ndarray:
-    from uce_tpu.utils.imaging import load_image
+def _batch_prep(size: int):
+    """One jitted uint8->imagenet-normalized resize program per BATCH
+    (same rationale as lpips._batch_prep: per-image dispatches + host
+    round-trips dominate folder evals on slow links)."""
 
-    img = jnp.asarray(load_image(path), jnp.float32) / 255.0
-    img = jax.image.resize(img, (size, size, 3), method="bilinear")
-    return np.asarray((img - IMAGENET_MEAN) / IMAGENET_STD)
+    @jax.jit
+    def prep(raw):  # uint8 [N, H, W, 3]
+        img = raw.astype(jnp.float32) / 255.0
+        img = jax.vmap(lambda im: jax.image.resize(
+            im, (size, size, 3), method="bilinear"))(img)
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+    return prep
 
 
 def eval_folders(
@@ -96,10 +103,13 @@ def eval_folders(
 
     cases: dict[int, list[tuple[float, float]]] = {}
     batch = 8
+    prep = _batch_prep(image_size)
+    from uce_tpu.eval.lpips import _load_raw
+
     for i in range(0, len(pairs), batch):
         chunk = pairs[i:i + batch]
-        ref = np.stack([_prep(p, image_size) for _, p, _ in chunk])
-        img = np.stack([_prep(p, image_size) for _, _, p in chunk])
+        ref = prep(_load_raw([p for _, p, _ in chunk]))
+        img = prep(_load_raw([p for _, _, p in chunk]))
         s, c = style_content_loss(params, img, ref, ref)
         s, c = np.asarray(s), np.asarray(c)
         for j, (case, _, _) in enumerate(chunk):
