@@ -98,17 +98,24 @@ def eval_folders(
     save_path: str | None = None,
     image_size: int = 64,
     distance_fn=None,
-    loss_column: str = "lpips_loss",
+    loss_column="lpips_loss",
+    prep_fn=None,
+    batch: int = 16,
 ) -> pd.DataFrame:
-    """Per-case mean distances between paired case images.
+    """Per-case mean distances between paired case images — THE shared
+    pair-folder protocol (dreamsim passes loss_column='dream_loss';
+    styleloss passes a two-column metric + imagenet prep).
 
-    ``distance_fn`` overrides the metric (used by dreamsim_eval's shared
-    protocol, which passes loss_column='dream_loss'); defaults to LPIPS
-    with ``params``. CSV contract (lpips_eval.py:66-90): the full prompts
-    CSV with a per-case mean loss column appended.
+    ``distance_fn(orig, edited)`` overrides the metric and may return a
+    tuple of per-pair arrays matching a tuple ``loss_column``; defaults
+    to LPIPS with ``params``. ``prep_fn`` overrides the batched
+    uint8->model-input preprocessing. CSV contract (lpips_eval.py:66-90):
+    the full prompts CSV with per-case mean loss column(s) appended.
     """
     if distance_fn is None:
         distance_fn = lambda a, b: lpips_distance(params, a, b)
+    columns = ((loss_column,) if isinstance(loss_column, str)
+               else tuple(loss_column))
 
     # collect valid pairs first, then run the metric in batches (one device
     # program per batch instead of one per image pair)
@@ -124,22 +131,26 @@ def eval_folders(
             continue
         pairs.append((case, os.path.join(original_path, name), edited_file))
 
-    cases: dict[int, list[float]] = {}
-    batch = 16
-    prep = _batch_prep(image_size)
+    cases: dict[int, list[tuple]] = {}
+    prep = prep_fn if prep_fn is not None else _batch_prep(image_size)
     for i in range(0, len(pairs), batch):
         chunk = pairs[i:i + batch]
         a = prep(_load_raw([p for _, p, _ in chunk]))
         b = prep(_load_raw([p for _, _, p in chunk]))
-        dists = np.asarray(distance_fn(a, b))
-        for (case, _, _), d in zip(chunk, dists):
-            cases.setdefault(case, []).append(float(d))
+        out = distance_fn(a, b)
+        outs = [np.asarray(o) for o in
+                (out if isinstance(out, tuple) else (out,))]
+        for j, (case, _, _) in enumerate(chunk):
+            cases.setdefault(case, []).append(
+                tuple(float(o[j]) for o in outs))
 
     if not cases:
         raise FileNotFoundError("no paired case images found")
     df = pd.DataFrame(
-        [{"case_number": c, loss_column: float(np.mean(v))}
-         for c, v in sorted(cases.items())])
+        [{"case_number": c,
+          **{col: float(np.mean([v[k] for v in vals]))
+             for k, col in enumerate(columns)}}
+         for c, vals in sorted(cases.items())])
     if prompts_path:
         df = pd.read_csv(prompts_path).merge(df, on="case_number",
                                              how="left")

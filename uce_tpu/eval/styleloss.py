@@ -87,45 +87,20 @@ def eval_folders(
 ) -> pd.DataFrame:
     """Style/content loss of edited images against the originals (the
     original image serves as both style and content reference, matching
-    the interference-measurement protocol)."""
-    pairs: list[tuple[int, str, str]] = []
-    for name in sorted(os.listdir(original_path)):
-        if not name.endswith(".png"):
-            continue
-        edited_file = os.path.join(edited_path, name)
-        if not os.path.exists(edited_file):
-            continue
-        try:
-            case = int(name.split("_")[0])
-        except ValueError:
-            continue
-        pairs.append((case, os.path.join(original_path, name), edited_file))
+    the interference-measurement protocol). Rides lpips.eval_folders'
+    shared pair-folder protocol (pair scan, per-case means, prompts-CSV
+    merge) with an imagenet prep and a two-column metric; total_loss is
+    exact as a post-sum since mean(s+c) == mean(s)+mean(c)."""
+    from uce_tpu.eval.lpips import eval_folders as shared_eval
 
-    cases: dict[int, list[tuple[float, float]]] = {}
-    batch = 8
-    prep = _batch_prep(image_size)
-    from uce_tpu.eval.lpips import _load_raw
-
-    for i in range(0, len(pairs), batch):
-        chunk = pairs[i:i + batch]
-        ref = prep(_load_raw([p for _, p, _ in chunk]))
-        img = prep(_load_raw([p for _, _, p in chunk]))
-        s, c = style_content_loss(params, img, ref, ref)
-        s, c = np.asarray(s), np.asarray(c)
-        for j, (case, _, _) in enumerate(chunk):
-            cases.setdefault(case, []).append((float(s[j]), float(c[j])))
-
-    if not cases:
-        raise FileNotFoundError("no paired case images found")
-    df = pd.DataFrame([
-        {"case_number": k,
-         "style_loss": float(np.mean([x[0] for x in v])),
-         "content_loss": float(np.mean([x[1] for x in v])),
-         "total_loss": float(np.mean([x[0] + x[1] for x in v]))}
-        for k, v in sorted(cases.items())])
-    if prompts_path:
-        df = pd.read_csv(prompts_path).merge(df, on="case_number",
-                                             how="left")
+    df = shared_eval(
+        None, original_path, edited_path, prompts_path=prompts_path,
+        save_path=None, image_size=image_size,
+        distance_fn=lambda ref, img: style_content_loss(
+            params, img, ref, ref),
+        loss_column=("style_loss", "content_loss"),
+        prep_fn=_batch_prep(image_size), batch=8)
+    df["total_loss"] = df["style_loss"] + df["content_loss"]
     if save_path:
         df.to_csv(save_path, index=False)
     return df
