@@ -9,7 +9,6 @@ Per-case means -> ``{folder}_styleloss.csv``.
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
