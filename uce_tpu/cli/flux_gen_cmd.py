@@ -4,7 +4,6 @@
 
 from __future__ import annotations
 
-import os
 
 
 def register_cli(sub) -> None:
@@ -58,15 +57,11 @@ def _cmd(args) -> int:
 
         pipe.apply_mesh(mesh_from_spec(args.mesh))
 
-    folder = os.path.join(
-        args.save_path,
-        os.path.basename(args.uce_model_path).replace(".safetensors", "")
-        if args.uce_model_path else "original")
-    os.makedirs(folder, exist_ok=True)
+    from uce_tpu.utils.imaging import case_window, uce_output_folder
 
+    folder = uce_output_folder(args.save_path, args.uce_model_path)
     df = pd.read_csv(args.prompts_path)
-    rows = [row for _, row in df.iterrows()
-            if args.from_case <= row.case_number <= args.till_case]
+    rows = case_window(df, args.from_case, args.till_case)
 
     embeds = None
     if args.staged:

@@ -5,7 +5,6 @@ reference edits against in trainscripts/uce_hidream_edit.py:16-64,220)."""
 
 from __future__ import annotations
 
-import os
 
 
 def register_cli(sub) -> None:
@@ -80,15 +79,11 @@ def _cmd(args) -> int:
 
         pipe.apply_mesh(mesh_from_spec(args.mesh))
 
-    folder = os.path.join(
-        args.save_path,
-        os.path.basename(args.uce_model_path).replace(".safetensors", "")
-        if args.uce_model_path else "original")
-    os.makedirs(folder, exist_ok=True)
+    from uce_tpu.utils.imaging import case_window, uce_output_folder
 
+    folder = uce_output_folder(args.save_path, args.uce_model_path)
     df = pd.read_csv(args.prompts_path)
-    rows = [row for _, row in df.iterrows()
-            if args.from_case <= row.case_number <= args.till_case]
+    rows = case_window(df, args.from_case, args.till_case)
     do_cfg = args.guidance_scale > 1.0
 
     embeds = None
@@ -96,13 +91,19 @@ def _cmd(args) -> int:
         # phase 1: encode every case with the quad encoders (CFG uncond
         # rows first, matching __call__), then free them so the MoE DiT
         # loads into the vacated HBM (phase 2, on first generate)
+        import jax
         import jax.numpy as jnp
+
+        # the unconditional batch never changes — encode it ONCE, not
+        # one CLIP-L+CLIP-G+T5+Llama-8B forward per CSV row
+        uncond = (pipe.encode_prompts([""] * args.num_samples)
+                  if do_cfg else None)
 
         def _encode_case(prompt: str):
             t5_c, ll_c, p_c = pipe.encode_prompts([prompt] * args.num_samples)
             if not do_cfg:
                 return t5_c, ll_c, p_c
-            t5_u, ll_u, p_u = pipe.encode_prompts([""] * args.num_samples)
+            t5_u, ll_u, p_u = uncond
             return (jnp.concatenate([t5_u, t5_c], axis=0),
                     jnp.concatenate([ll_u, ll_c], axis=1),
                     jnp.concatenate([p_u, p_c], axis=0))
@@ -113,8 +114,6 @@ def _cmd(args) -> int:
         # case resident would OOM the 16 GB chip next to the DiT, the
         # exact scenario --staged exists for. They re-upload per case at
         # generate time (implicit transfer into the jitted step).
-        import jax
-
         embeds = [jax.device_get(_encode_case(str(row.prompt)))
                   for row in rows]
         pipe.free_encoders()

@@ -9,7 +9,6 @@ program; multiple samples per prompt run as one batched denoise.
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 
@@ -72,16 +71,10 @@ def generate_images(
         fast_cfg = FastConfig.from_spec(fast)
 
     df = pd.read_csv(prompts_path)
-    folder = os.path.join(
-        save_path,
-        exp_name if exp_name else
-        (os.path.basename(uce_model_path).replace(".safetensors", "")
-         if uce_model_path else "original"),
-    )
-    os.makedirs(folder, exist_ok=True)
+    from uce_tpu.utils.imaging import case_window, uce_output_folder
 
-    rows = [row for _, row in df.iterrows()
-            if from_case <= row.case_number <= till_case]
+    folder = uce_output_folder(save_path, uce_model_path, exp_name)
+    rows = case_window(df, from_case, till_case)
     n = 0
     for i in range(0, len(rows), max(batch_rows, 1)):
         chunk = rows[i:i + max(batch_rows, 1)]

@@ -420,11 +420,12 @@ def apply(params: dict, sample: jnp.ndarray, timesteps: jnp.ndarray,
         for li in range(cfg.layers_per_block + 1):
             res = res_stack.pop()
             rp = bp["resnets"][str(li)]
-            from uce_tpu.ops.quant import is_quantized
+            from uce_tpu.ops.quant import is_quantized, is_weight_only
 
             if (_split_skip() and "conv_shortcut" in rp
                     and x.dtype == jnp.bfloat16
-                    and not is_quantized(rp["conv1"]["weight"])):
+                    and not is_quantized(rp["conv1"]["weight"])
+                    and not is_weight_only(rp["conv1"]["weight"])):
                 x = _resnet_split(rp, x, res, emb, groups)
             else:
                 x = jnp.concatenate([x, res], axis=-1)

@@ -83,10 +83,40 @@ def case_image_path(folder: str, case_number, num: int) -> str:
     return os.path.join(folder, f"{case_number}_{num}.png")
 
 
+def uce_output_folder(save_path: str, uce_model_path: str | None = None,
+                      exp_name: str | None = None) -> str:
+    """The eval protocol's output-folder convention, shared by the SD /
+    FLUX / HiDream generation surfaces (reference:
+    evalscripts/generate-images-sd.py — edited models write under the
+    safetensors stem, unedited under 'original'). Created on return."""
+    folder = os.path.join(
+        save_path,
+        exp_name if exp_name else
+        (os.path.basename(uce_model_path).replace(".safetensors", "")
+         if uce_model_path else "original"))
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
+def case_window(df, from_case: int, till_case: int) -> list:
+    """CSV rows within the inclusive [from_case, till_case] resume window
+    (every generation/eval CLI's failure-recovery contract)."""
+    return [row for _, row in df.iterrows()
+            if from_case <= row.case_number <= till_case]
+
+
 def save_case_images(images: np.ndarray, folder: str, case_number) -> None:
     """Batch save via the native multithreaded PNG writer (PIL fallback)."""
     from uce_tpu.utils.native_png import write_png_batch
 
     paths = [case_image_path(folder, case_number, num)
              for num in range(images.shape[0])]
-    write_png_batch(np.asarray(images), paths)
+    written = write_png_batch(np.asarray(images), paths)
+    if written != len(paths):
+        # the native writer skips files it cannot open/write (disk full,
+        # permissions) and reports a short count — a silently missing
+        # case image would skew every folder-based metric downstream
+        missing = [p for p in paths if not os.path.exists(p)]
+        raise OSError(
+            f"wrote {written}/{len(paths)} case images; "
+            f"missing: {missing[:4]}")
