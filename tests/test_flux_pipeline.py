@@ -193,3 +193,23 @@ def test_generate_from_embeddings_validates_rows(flux_snapshot):
     with pytest.raises(ValueError, match="pre-expanded"):
         pipe.generate_from_embeddings(t5, pooled[:2], num_inference_steps=1,
                                       height=16, width=16)
+
+
+def test_pack_latents_is_channel_major():
+    """Pin the diffusers/BFL FLUX packing convention non-circularly:
+    packed[k] = lat[py, px, c] at k = c*4 + py*2 + px (channel-major) —
+    FluxPipeline._pack_latents does NCHW view -> permute (0,2,4,1,3,5).
+    Real x_embedder weights are trained against this order; a pixel-major
+    pack would permute their input channels."""
+    c_dim = 3
+    lat = np.zeros((1, 2, 2, c_dim), np.float32)
+    for py in range(2):
+        for px in range(2):
+            for c in range(c_dim):
+                lat[0, py, px, c] = c * 100 + py * 10 + px
+    packed = np.asarray(pf.pack_latents(jnp.asarray(lat)))
+    assert packed.shape == (1, 1, 4 * c_dim)
+    for k in range(4 * c_dim):
+        c, rem = divmod(k, 4)
+        py, px = divmod(rem, 2)
+        assert packed[0, 0, k] == c * 100 + py * 10 + px, (k, c, py, px)

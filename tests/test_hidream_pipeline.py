@@ -387,3 +387,22 @@ def test_apply_mesh_none_reverts_model_sharding(tiny_hidream):
     assert np.abs(meshed.astype(int) - base.astype(int)).max() <= 1
     # reverted runs the original single-device program again: bitwise
     np.testing.assert_array_equal(base, reverted)
+
+
+def test_hidream_pack_latents_is_pixel_major():
+    """Pin HiDream's own patchify convention non-circularly:
+    packed[k] = lat[py, px, c] at k = (py*2 + px)*C + c (pixel-major) —
+    the upstream transformer's einops '(p1 p2 C)'. This is deliberately
+    DIFFERENT from FLUX's channel-major pack (pipeline_flux)."""
+    c_dim = 3
+    lat = np.zeros((1, 2, 2, c_dim), np.float32)
+    for py in range(2):
+        for px in range(2):
+            for c in range(c_dim):
+                lat[0, py, px, c] = c * 100 + py * 10 + px
+    packed = np.asarray(ph.pack_latents(jnp.asarray(lat)))
+    assert packed.shape == (1, 1, 4 * c_dim)
+    for k in range(4 * c_dim):
+        pix, c = divmod(k, c_dim)
+        py, px = divmod(pix, 2)
+        assert packed[0, 0, k] == c * 100 + py * 10 + px, (k, c, py, px)

@@ -29,10 +29,15 @@ from uce_tpu.utils import torch_rng
 
 
 def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
-    """[B, h, w, C] -> [B, (h/2)(w/2), 4C] 2x2 patch packing."""
+    """[B, h, w, C] -> [B, (h/2)(w/2), 4C] 2x2 patch packing,
+    CHANNEL-major inner order (c, py, px) — the diffusers/BFL FLUX
+    convention (FluxPipeline._pack_latents: NCHW view -> permute
+    (0,2,4,1,3,5)), which real x_embedder/proj_out weights are trained
+    against. HiDream's patchify is PIXEL-major and lives in
+    pipeline_hidream (upstream einops '(p1 p2 C)') — do not share."""
     b, h, w, c = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [b, h/2, w/2, c, py, px]
     return x.reshape(b, (h // 2) * (w // 2), 4 * c)
 
 
@@ -40,8 +45,8 @@ def unpack_latents(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Inverse of pack_latents; h, w are the unpacked latent dims."""
     b, s, c4 = packed.shape
     c = c4 // 4
-    x = packed.reshape(b, h // 2, w // 2, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = packed.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # [b, h/2, py, w/2, px, c]
     return x.reshape(b, h, w, c)
 
 

@@ -23,18 +23,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from uce_tpu.diffusion import schedulers
-from uce_tpu.diffusion.pipeline_flux import (
-    compute_shift_mu,
-    make_img_ids,
-    pack_latents,
-    unpack_latents,
-)
+from uce_tpu.diffusion.pipeline_flux import compute_shift_mu, make_img_ids
 from uce_tpu.edit import embeddings as emb
 from uce_tpu.models import clip_text, hidream as hd_mod, llama as llama_mod
 from uce_tpu.models import t5 as t5_mod, unet as unet_mod, vae as vae_mod
 from uce_tpu.models.hf_loader import (host_device_scope, load_json,
                                       load_state_dict)
 from uce_tpu.utils import torch_rng
+
+
+def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, w, C] -> [B, (h/2)(w/2), 4C] 2x2 patch packing,
+    PIXEL-major inner order (py, px, c) — HiDream's own patchify
+    (upstream transformer einops 'B C (H p1) (W p2) -> B (H W)
+    (p1 p2 C)'), which its trained x_embedder/proj_out expect. NOT the
+    FLUX convention (channel-major, pipeline_flux.pack_latents)."""
+    b, h, w, c = latents.shape
+    x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [b, h/2, w/2, py, px, c]
+    return x.reshape(b, (h // 2) * (w // 2), 4 * c)
+
+
+def unpack_latents(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of pack_latents; h, w are the unpacked latent dims."""
+    b, s, c4 = packed.shape
+    c = c4 // 4
+    x = packed.reshape(b, h // 2, w // 2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
 
 
 def _load_hidream_transformer(model_dir: str, dtype, quantize: str | None):
