@@ -524,3 +524,10 @@ def test_mesh_from_spec_validates_sizes():
         mesh_mod.mesh_from_spec("model=0")
     with pytest.raises(ValueError, match="data=N"):
         mesh_mod.mesh_from_spec("data=-1")
+
+
+def test_apply_mesh_requires_data_axis(pipe):
+    from jax.sharding import Mesh
+
+    with pytest.raises(ValueError, match="data"):
+        pipe.apply_mesh(Mesh(np.array(jax.devices()), ("model",)))

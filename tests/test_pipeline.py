@@ -114,3 +114,16 @@ def test_list_seed_length_mismatch_raises(pipe):
     with pytest.raises(ValueError):
         pipe(["cat", "dog"], num_inference_steps=2, seed=[5],
              height=32, width=32)
+
+
+def test_rejects_nonmultiple_size(pipe):
+    """height/width off the latent granularity must fail loudly, not
+    silently floor to a smaller image."""
+    with pytest.raises(ValueError, match="multiples"):
+        pipe("a cat", num_inference_steps=2, height=33, width=32)
+
+
+def test_debias_vl_requires_projection(pipe):
+    with pytest.raises(ValueError, match="debias_projection"):
+        pipe("a doctor", num_inference_steps=2, height=32, width=32,
+             mode="debias_vl")

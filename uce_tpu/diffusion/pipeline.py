@@ -106,6 +106,10 @@ class SDPipeline:
         sharding stops, and model-sharded UNet params are gathered back
         to the default device).
         """
+        if mesh is not None:
+            from uce_tpu.parallel.mesh import require_data_axis
+
+            require_data_axis(mesh)
         prev, self.mesh = self.mesh, mesh
         if mesh is None:
             if prev is not None and dict(prev.shape).get("model", 1) > 1:
@@ -254,6 +258,10 @@ class SDPipeline:
             safe = jnp.repeat(self.encode_prompts([safety]), bsz, axis=0)
             context = jnp.concatenate([uncond, cond, safe], axis=0)
         elif mode == "debias_vl":
+            if debias_projection is None:
+                raise ValueError(
+                    "mode='debias_vl' needs a debias_projection matrix "
+                    "(guidance.debias_vl_calibration)")
             proj = jnp.asarray(debias_projection, jnp.float32)
             cond = (cond.astype(jnp.float32) @ proj.T).astype(self.dtype)
             context = jnp.concatenate([uncond, cond], axis=0)
@@ -261,6 +269,11 @@ class SDPipeline:
             raise ValueError(f"unknown mode: {mode}")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        if height % vae_scale or width % vae_scale:
+            raise ValueError(
+                f"height/width must be multiples of {vae_scale} "
+                f"(got {height}x{width}) — a silent floor would return a "
+                "smaller image than requested")
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.unet_config.in_channels
         latents = jnp.asarray(
@@ -377,29 +390,16 @@ def _generate_jit(pipe: SDPipeline, plan, latents, context, guidance_scale,
         # XLA propagates the sharding through the scan (replicated params).
         # Pad the batch (repeating the last row per guidance branch) to a
         # multiple of the data axis, slice the images back after.
-        from uce_tpu.parallel.mesh import batch_sharding
+        from uce_tpu.parallel.mesh import (batch_sharding, pad_batch,
+                                           pad_batch_branched)
 
         n_data = pipe.mesh.shape["data"]
-        pad = (-orig_bsz) % n_data
-        if pad:
-            n_branches = context.shape[0] // orig_bsz
-            latents = jnp.concatenate(
-                [latents, jnp.repeat(latents[-1:], pad, 0)], 0)
-            ctx_b = context.reshape(n_branches, orig_bsz, *context.shape[1:])
-            ctx_b = jnp.concatenate(
-                [ctx_b, jnp.repeat(ctx_b[:, -1:], pad, 1)], 1)
-            context = ctx_b.reshape(n_branches * (orig_bsz + pad),
-                                    *context.shape[1:])
-            if added_cond:
-                def _pad_branched(v):
-                    vb = v.reshape(n_branches, orig_bsz, *v.shape[1:])
-                    vb = jnp.concatenate(
-                        [vb, jnp.repeat(vb[:, -1:], pad, 1)], 1)
-                    return vb.reshape(n_branches * (orig_bsz + pad),
-                                      *v.shape[1:])
-
-                added_cond = {k: _pad_branched(v)
-                              for k, v in added_cond.items()}
+        n_branches = context.shape[0] // orig_bsz
+        latents = pad_batch(latents, n_data)
+        context = pad_batch_branched(context, n_data, n_branches)
+        if added_cond:
+            added_cond = {k: pad_batch_branched(v, n_data, n_branches)
+                          for k, v in added_cond.items()}
         sh = batch_sharding(pipe.mesh)
         latents = jax.device_put(latents, sh)
         context = jax.device_put(context, sh)

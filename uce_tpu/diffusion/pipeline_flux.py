@@ -187,6 +187,10 @@ class FluxPipeline:
         itself, preserving staging's memory contract. Pass None to
         revert: batch sharding stops, and a model-sharded DiT is
         gathered back to the default device."""
+        if mesh is not None:
+            from uce_tpu.parallel.mesh import require_data_axis
+
+            require_data_axis(mesh)
         prev, self.mesh = self.mesh, mesh
         if mesh is None:
             if (prev is not None and dict(prev.shape).get("model", 1) > 1
@@ -343,6 +347,12 @@ class FluxPipeline:
                 "must be pre-expanded per sample")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        gran = 2 * vae_scale  # VAE downsampling x the 2x2 patch pack
+        if height % gran or width % gran:
+            raise ValueError(
+                f"height/width must be multiples of {gran} "
+                f"(got {height}x{width}): VAE scale {vae_scale} x the 2x2 "
+                "latent patchify")
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.vae_config.latent_channels
         latents = jnp.asarray(

@@ -206,6 +206,10 @@ class HiDreamPipeline:
         memory contract (encoders first, DiT into the vacated HBM).
         Pass None to revert: batch sharding stops, and a model-sharded
         DiT is gathered back to the default device."""
+        if mesh is not None:
+            from uce_tpu.parallel.mesh import require_data_axis
+
+            require_data_axis(mesh)
         prev, self.mesh = self.mesh, mesh
         if mesh is None:
             if (prev is not None and dict(prev.shape).get("model", 1) > 1
@@ -270,7 +274,8 @@ class HiDreamPipeline:
         edits = load_file(safetensors_path)
         cp = self.transformer_params["caption_projection"]
         n_llama = cp["llama"]["weight"].shape[0]
-        llama_w = np.array(cp["llama"]["weight"], np.float32)  # writable copy
+        llama_w = None  # host copy of the full bank, pulled only on demand
+        touched_llama = False
         for key, v in edits.items():
             m = re.match(r"caption_projection\.(\d+)\.linear\.weight$", key)
             if m is None:
@@ -286,17 +291,23 @@ class HiDreamPipeline:
                     f"{key}: index {i} exceeds this model's "
                     f"{n_llama} llama + 1 t5 caption projections")
             w = np.swapaxes(np.asarray(v, np.float32), -1, -2)
-            expected = (llama_w.shape[1:] if i < n_llama
+            expected = (cp["llama"]["weight"].shape[1:] if i < n_llama
                         else cp["t5"]["weight"].shape)
             if w.shape != tuple(expected):
                 raise ValueError(
                     f"{key}: shape {v.shape} does not match the model's "
                     f"caption projection {tuple(expected)[::-1]}")
             if i < n_llama:
+                if llama_w is None:
+                    # deferred: a T5-only (or no-op) artifact must not pay
+                    # the full-bank device->host->device round-trip
+                    llama_w = np.array(cp["llama"]["weight"], np.float32)
                 llama_w[i] = w
+                touched_llama = True
             else:
                 cp["t5"]["weight"] = jnp.asarray(w, self.dtype)
-        cp["llama"]["weight"] = jnp.asarray(llama_w, self.dtype)
+        if touched_llama:
+            cp["llama"]["weight"] = jnp.asarray(llama_w, self.dtype)
 
     # --------------------------------------------------------------- text
     def encode_prompts(self, prompts: Sequence[str]):
@@ -430,6 +441,12 @@ class HiDreamPipeline:
                 + "; embeds must be pre-expanded per sample")
 
         vae_scale = 2 ** (len(self.vae_config.block_out_channels) - 1)
+        gran = 2 * vae_scale  # VAE downsampling x the 2x2 patch pack
+        if height % gran or width % gran:
+            raise ValueError(
+                f"height/width must be multiples of {gran} "
+                f"(got {height}x{width}): VAE scale {vae_scale} x the 2x2 "
+                "latent patchify")
         lh, lw = height // vae_scale, width // vae_scale
         lc = self.vae_config.latent_channels
         packed = pack_latents(jnp.asarray(
@@ -520,25 +537,20 @@ def _hidream_generate_jit(pipe, plan, packed, t5_e, llama_e, pooled_e,
         # pad the PER-BRANCH batch to the data axis (CFG rows are
         # [uncond; cond] — padding must land inside each half), shard,
         # slice the images back after
-        from uce_tpu.parallel.mesh import batch_sharding, pad_batch
+        from uce_tpu.parallel.mesh import (batch_sharding, pad_batch,
+                                           pad_batch_branched)
 
         n_data = dict(mesh.shape)["data"]
-
-        def pad_rows(x, axis):
-            if not do_cfg:
-                return pad_batch(x, n_data, axis=axis)
-            u, c = jnp.split(x, 2, axis=axis)
-            return jnp.concatenate(
-                [pad_batch(u, n_data, axis=axis),
-                 pad_batch(c, n_data, axis=axis)], axis=axis)
-
+        n_br = 2 if do_cfg else 1
         packed = jax.device_put(pad_batch(packed, n_data),
                                 batch_sharding(mesh))
-        t5_e = jax.device_put(pad_rows(t5_e, 0), batch_sharding(mesh))
-        pooled_e = jax.device_put(pad_rows(pooled_e, 0),
+        t5_e = jax.device_put(pad_batch_branched(t5_e, n_data, n_br),
+                              batch_sharding(mesh))
+        pooled_e = jax.device_put(pad_batch_branched(pooled_e, n_data, n_br),
                                   batch_sharding(mesh))
-        llama_e = jax.device_put(pad_rows(llama_e, 1),
-                                 batch_sharding(mesh, axis=1))
+        llama_e = jax.device_put(
+            pad_batch_branched(llama_e, n_data, n_br, axis=1),
+            batch_sharding(mesh, axis=1))
     fn = _compiled_hidream_generate(
         pipe.transformer_config, pipe.vae_config,
         (plan.kind, plan.num_calls),

@@ -81,6 +81,29 @@ def pad_batch(x, n_data: int, axis: int = 0):
     return jnp.concatenate([x, reps], axis=axis)
 
 
+def pad_batch_branched(x, n_data: int, n_branches: int, axis: int = 0):
+    """Branch-aware ``pad_batch``: ``x`` stacks ``n_branches`` guidance
+    branches along ``axis`` ([uncond; cond; ...]); each branch's batch
+    pads independently so the padding lands INSIDE every branch and the
+    stacking contract survives the shard. The single pad implementation
+    for all three pipeline families."""
+    if n_branches == 1:
+        return pad_batch(x, n_data, axis=axis)
+    parts = jnp.split(x, n_branches, axis=axis)
+    return jnp.concatenate([pad_batch(p, n_data, axis=axis) for p in parts],
+                           axis=axis)
+
+
+def require_data_axis(mesh: Mesh) -> None:
+    """Generation shards the batch over a 'data' axis; a hand-built mesh
+    without one would otherwise KeyError deep in the jit wrapper AFTER
+    the params were already laid out."""
+    if "data" not in mesh.shape:
+        raise ValueError(
+            "mesh needs a 'data' axis (make_mesh/mesh_from_spec create "
+            "one; for pure tensor parallelism use data=1)")
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
