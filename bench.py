@@ -32,11 +32,13 @@ import time
 
 # Fast-path spec the default headline run measures alongside the exact
 # protocol (override with UCE_BENCH_FAST_SPEC; on-chip sweep in
-# docs/PERF.md "Fast mode"). Measured 2.083 img/s on chip (vs 1.265
-# exact) at the mildest config that clears the 2.0 target: CFG confined
-# to scheduler calls [5, 30) (Kynkaanniemi et al. 2024) + DeepCache N=2
-# (Ma et al. 2023). Both numbers land in ONE JSON line, clearly labeled.
-DEFAULT_FAST_SPEC = "cfg_interval=5:30,cache=2"
+# docs/PERF.md "Fast mode"). Measured 2.089 img/s on chip (vs 1.265
+# exact): CFG confined to scheduler calls [3, 25) (Kynkaanniemi et al.
+# 2024) + DeepCache N=2 (Ma et al. 2023). Chosen over the equally-mild
+# 5:30 window because it measures strictly LESS perturbation on the
+# pixel-delta probe (PSNR 30.5 vs 27.3 dB, docs/bench/FASTQ_r04.json)
+# at the same throughput. Both numbers land in ONE JSON line, labeled.
+DEFAULT_FAST_SPEC = "cfg_interval=3:25,cache=2"
 
 
 def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,

@@ -12,7 +12,7 @@ architecture; the semantic quality gate on real weights (CLIP score +
 LPIPS fast-vs-exact) is scripted as step 6 of tools/real_smoke.sh and
 must be recorded in docs/PERF.md before --fast is used for evals.
 
-Usage: python tools/fast_quality.py --fast 'cfg_interval=5:30,cache=2'
+Usage: python tools/fast_quality.py --fast 'cfg_interval=3:25,cache=2'
        [--tiny] [--prompts 4] [--steps 50]
 Prints one JSON line with the aggregate stats.
 """
@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", type=str, required=True,
-                    help="FastConfig spec, e.g. 'cfg_interval=5:30,cache=2'")
+                    help="FastConfig spec, e.g. 'cfg_interval=3:25,cache=2'")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode (tiny shapes, same code path)")
     ap.add_argument("--prompts", type=int, default=4)

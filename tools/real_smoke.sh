@@ -13,7 +13,7 @@
 # generation (base vs overlay, first 2 vangogh_prompts cases) -> CLIP
 # attribute gate (edited images stop preferring the Van Gogh label) ->
 # CLIP-score fidelity spot value -> fast-mode quality A/B (exact vs
-# --fast 'cfg_interval=5:30,cache=2' on the same seeds, LPIPS if weights
+# --fast 'cfg_interval=3:25,cache=2' on the same seeds, LPIPS if weights
 # provided). Exits nonzero on the first failed gate.
 set -euo pipefail
 
@@ -95,11 +95,11 @@ else
     echo "UCE_CLIP_SNAPSHOT unset: skipping CLIP gates (optional)"
 fi
 
-echo "== 6/6 fast-mode quality A/B (exact vs cfg_interval=5:30,cache=2) =="
+echo "== 6/6 fast-mode quality A/B (exact vs cfg_interval=3:25,cache=2) =="
 python -m uce_tpu.cli.main generate --model_id "$UCE_SD_SNAPSHOT" \
     --prompts_path data/vangogh_prompts.csv --save_path "$OUT/gen" \
     --exp_name base_fast --till_case 1 --batch_rows 2 \
-    --fast "cfg_interval=5:30,cache=2"
+    --fast "cfg_interval=3:25,cache=2"
 python - "$OUT" <<'PY'
 import sys
 

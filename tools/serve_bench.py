@@ -125,7 +125,7 @@ def main() -> int:
     ap.add_argument("--fast", type=str, default=None, metavar="SPEC",
                     help="serve with the beyond-protocol fast path "
                          "(FastConfig.from_spec, e.g. "
-                         "'cfg_interval=5:30,cache=2')")
+                         "'cfg_interval=3:25,cache=2')")
     ap.add_argument("--pin_rung", action="store_true",
                     help="pad every batch into the top rung "
                          "(bit-reproducible ladder)")

@@ -43,7 +43,7 @@ def register_cli(sub) -> None:
                         "cost, SURVEY §3.2) shard over the data axis")
     p.add_argument("--fast", type=str, default=None, metavar="SPEC",
                    help="beyond-protocol fast path for the measurement "
-                        "generations, e.g. 'cfg_interval=5:30,cache=2' "
+                        "generations, e.g. 'cfg_interval=3:25,cache=2' "
                         "(the controller reads CLIP ratios, not pixels; "
                         "still opt-in — see docs/PERF.md 'Fast mode')")
     p.set_defaults(func=_cmd)
