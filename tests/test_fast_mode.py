@@ -71,6 +71,21 @@ def test_fastconfig_from_spec():
         FastConfig.from_spec("bogus=1")
 
 
+def test_bench_default_fast_spec_is_valid():
+    """bench.py's round-end side measurement uses DEFAULT_FAST_SPEC; a
+    typo there would quietly downgrade the headline artifact's "fast"
+    sub-object to an error record, so pin it here."""
+    import bench
+
+    fc = FastConfig.from_spec(bench.DEFAULT_FAST_SPEC)
+    assert not fc.is_noop
+    lo, hi = fc.cfg_interval
+    assert 0 <= lo < hi <= 50  # a real window inside the 50-call protocol
+    assert fc.cache_interval >= 2  # caching actually on
+    # every segment must be non-empty at the headline's 50 calls
+    assert all(s < e for s, e, _ in fc.segments(50))
+
+
 # ------------------------------------------- UNet partial-execution split
 @pytest.mark.parametrize("cache_level", [1, 2])
 def test_same_step_deep_feedback_reproduces_full(cache_level):
