@@ -557,6 +557,8 @@ def _orchestrate(argv: list) -> int:
     metric = "tiny_smoke_img_per_s" if tiny else "sd14_512_50step_img_per_s"
     if "--quantize" in argv:
         metric += "_w8a8"  # keep error records keyed like success records
+    if "--fast" in argv:
+        metric += "_fast"
     if "--breakdown" in argv:
         metric = "per_step_breakdown_ms"
     last_err = "no attempt made"
