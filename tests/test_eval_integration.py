@@ -59,6 +59,36 @@ def test_nudenet_real_detector_end_to_end(tmp_path):
     assert out.exists()
 
 
+@pytest.mark.skipif(not has_nudenet, reason="nudenet package not installed")
+def test_nudenet_jax_port_matches_real_detector(tmp_path):
+    """Convert the packaged 320n.onnx (tools/convert_nudenet.py) and assert
+    the JAX YOLOv8 backbone reproduces the real NudeDetector's detections —
+    the full first-contact gate for the JAX port (classes and scores agree;
+    boxes within a couple of pixels of the cv2-preprocessed original)."""
+    import subprocess
+    import sys
+
+    from uce_tpu.eval.nudenet import JaxNudeDetector, load_nudenet_detector
+
+    out = tmp_path / "det.safetensors"
+    res = subprocess.run(
+        [sys.executable, "tools/convert_nudenet.py", "--out", str(out)],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    folder = _write_images(tmp_path)
+    real = load_nudenet_detector()
+    ours = JaxNudeDetector(str(out))
+    for name in ("0_0.png", "1_0.png"):
+        path = str(folder / name)
+        got = sorted(ours.detect(path), key=lambda d: -d["score"])
+        want = sorted(real(path), key=lambda d: -d["score"])
+        assert [d["class"] for d in got] == [
+            d.get("class", d.get("label")) for d in want]
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 0.02
+            assert all(abs(a - b) <= 4 for a, b in zip(g["box"], w["box"]))
+
+
 @pytest.mark.skipif(not has_dreamsim, reason="dreamsim package not installed")
 def test_dreamsim_real_model_end_to_end(tmp_path):
     """Real DreamSim ensemble through the torch wrapper: identity distance

@@ -4,8 +4,10 @@ Per image: detector labels above ``--threshold`` joined with ``-`` into a
 ``NudeNet_label`` column of the prompts CSV (default
 ``data/unsafe-prompts4703.csv``), matching nudenet-classes.py:19-23
 exactly (strict ``score > threshold``, trailing separator trimmed). The
-detector comes from the ``nudenet`` package when available; any callable
-``detect(path) -> [{class|label, score}]`` can be injected.
+detector is either the TPU-native JAX YOLOv8 backbone (``JaxNudeDetector``
+over a ``tools/convert_nudenet.py`` checkpoint — ``--jax_weights``), the
+``nudenet`` package when installed, or any injected callable
+``detect(path) -> [{class|label, score}]``.
 
 Schema note: the reference pins ``nudenet==3.4.2`` (requirements.txt:6),
 whose ``NudeDetector.detect`` returns ``{"class", "score", "box"}`` dicts
@@ -19,6 +21,54 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+
+
+class JaxNudeDetector:
+    """TPU-native NudeNet: the YOLOv8-n detector (models/yolo.py) on a
+    checkpoint converted once by ``tools/convert_nudenet.py``.
+
+    ``detect(path)`` returns nudenet-3.x-schema dicts
+    ``{"class", "score", "box": [x, y, w, h]}`` in original-image pixels,
+    so it drops into ``label_folder`` unchanged. The full forward+decode is
+    one jitted program at a static [1, size, size, 3] signature; only the
+    tiny NMS runs on host.
+    """
+
+    def __init__(self, weights_path: str, score_threshold: float = 0.2,
+                 iou_threshold: float = 0.45, size: int = 320):
+        import jax
+        import numpy as np
+        from safetensors import safe_open
+
+        from uce_tpu.models import yolo
+
+        sd: dict = {}
+        with safe_open(weights_path, framework="np") as f:
+            meta = f.metadata() or {}
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+        yolo.validate_state(sd)
+        self.labels = tuple(
+            m for m in meta.get("labels", "").split(",") if m
+        ) or yolo.NUDENET_LABELS
+        self.size = int(meta.get("input_size", size))
+        self.score_threshold = score_threshold
+        self.iou_threshold = iou_threshold
+        params = yolo.params_from_state(sd)
+        self._np = np
+        self._yolo = yolo
+        self._infer = jax.jit(lambda x: yolo.yolo_detect(params, x))
+
+    def detect(self, path: str) -> list[dict]:
+        from PIL import Image
+
+        img = self._np.asarray(Image.open(path).convert("RGB"))
+        canvas, scale, px, py = self._yolo.letterbox(img, self.size)
+        pred = self._np.asarray(self._infer(canvas[None]))[0]
+        return self._yolo.postprocess(
+            pred, scale, px, py, labels=self.labels,
+            score_threshold=self.score_threshold,
+            iou_threshold=self.iou_threshold)
 
 
 def load_nudenet_detector():
@@ -75,11 +125,18 @@ def register_cli(sub) -> None:
     p.add_argument("--save_path", type=str, default=None)
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--jax_weights", type=str, default=None,
+                   help="converted NudeNet detector safetensors "
+                        "(tools/convert_nudenet.py) — runs the JAX YOLOv8 "
+                        "backbone instead of the torch/onnx 'nudenet' pkg")
     p.set_defaults(func=_cmd)
 
 
 def _cmd(args) -> int:
-    detect = load_nudenet_detector()
+    if args.jax_weights:
+        detect = JaxNudeDetector(args.jax_weights).detect
+    else:
+        detect = load_nudenet_detector()
     # default save name inside the folder: nudenet-classes.py:41-45
     folder = args.image_folder.rstrip("/")
     save_path = args.save_path or os.path.join(
