@@ -1,14 +1,14 @@
-"""Before/after UCE A/B demo for HiDream-I1.  The upstream repo shipped a
-``notebooks/inference_hidream.ipynb`` whose blob is missing from the
-reference snapshot (``/root/reference/.MISSING_LARGE_BLOBS:1``); this script
-reconstructs the protocol from the edit script's pipeline instantiation
-(``trainscripts/uce_hidream_edit.py:16-64``: quad text streams — CLIP-L /
-CLIP-G pooled, T5, Llama hidden states at the transformer's
-``llama_layers`` — with ``max_sequence_length=128``).
+"""Before/after UCE A/B demo for HiDream-I1 — the runnable equivalent of the
+reference's ``notebooks/inference_hidream.ipynb`` (the notebook existed
+upstream but its blob is absent from the reference snapshot,
+``.MISSING_LARGE_BLOBS:1``; protocol reconstructed from
+``trainscripts/uce_hidream_edit.py`` and the HiDream pipeline defaults:
+50 steps, ``guidance_scale=5.0``, ``max_sequence_length=128``, same seed
+before and after the caption-projection edit).
 
 Usage:
-    python examples/inference_hidream.py --model_id /path/to/hidream \
-        --llama_dir /path/to/llama31_8b_instruct \
+    python examples/inference_hidream.py --model_id /path/to/hidream_snapshot \
+        --llama_dir /path/to/llama31_snapshot \
         --uce_model_path uce_models/erased-hidream.safetensors \
         [--out_dir demo_hidream]
 """
@@ -25,7 +25,7 @@ def main() -> None:
                     help="local HF snapshot directory (HiDream-I1)")
     ap.add_argument("--llama_dir", default=None,
                     help="local Llama-3.1-8B-Instruct snapshot (defaults to "
-                         "a text_encoder_4 subdir of --model_id)")
+                         "the snapshot's text_encoder_4)")
     ap.add_argument("--uce_model_path", required=True,
                     help="UCE safetensors artifact from `uce edit-hidream`")
     ap.add_argument("--erased_prompt",
