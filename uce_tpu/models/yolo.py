@@ -168,10 +168,20 @@ def validate_state(sd: Mapping) -> None:
             f"unrecognized detector parameters (architecture drift?): "
             f"{unknown[:8]}{' ...' if len(unknown) > 8 else ''}")
     need = ["model.0.conv.weight", "model.22.cv3.2.2.bias",
-            "model.9.cv2.conv.weight"]
+            "model.9.cv2.conv.weight", "model.22.dfl.conv.weight"]
     missing = [k for k in need if k not in sd]
     if missing:
         raise ValueError(f"detector checkpoint is missing {missing}")
+    # decode() computes the DFL expectation directly as arange(REG_MAX);
+    # refuse an export whose frozen DFL conv disagrees (it would decode
+    # to silently-wrong boxes)
+    dfl = np.asarray(sd["model.22.dfl.conv.weight"],
+                     np.float32).reshape(-1)
+    if dfl.shape != (REG_MAX,) or not np.allclose(
+            dfl, np.arange(REG_MAX, dtype=np.float32)):
+        raise ValueError(
+            "DFL weights are not the standard arange(16) expectation — "
+            "this export's decode differs from the implemented one")
 
 
 # ---------------------------------------------------------------------------
