@@ -143,6 +143,12 @@ def test_validate_state_rejects_drift():
     missing = {k: v for k, v in sd.items() if "model.9" not in k}
     with pytest.raises(ValueError, match="missing"):
         yolo.validate_state(missing)
+    # a non-arange DFL conv means the export's decode differs from ours
+    warped = dict(sd)
+    warped["model.22.dfl.conv.weight"] = (
+        sd["model.22.dfl.conv.weight"] * 2.0)
+    with pytest.raises(ValueError, match="DFL"):
+        yolo.validate_state(warped)
 
 
 # ---------------------------------------------------------------------------
