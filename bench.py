@@ -77,13 +77,19 @@ def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
 
 
 def bench_generation(tiny: bool, batch: int, steps: int,
-                     quantize: bool = False, fast=None) -> float:
+                     quantize: bool = False, fast=None,
+                     sdxl: bool = False) -> float:
     """Returns images/second for 512x512 SD v1.4-architecture generation.
 
     ``fast``: optional ``sampler.FastConfig`` — measures the opt-in
     beyond-protocol path (CFG interval + DeepCache) instead of the exact
     reference protocol. The headline metric is always the exact path;
     fast numbers are reported alongside, clearly labeled.
+
+    ``sdxl``: the reference notebook's flagship protocol instead
+    (notebooks/inference_sd.ipynb: stabilityai/stable-diffusion-xl-base,
+    50 steps, CFG 7.5, 1024x1024): SDXL UNet (2048-dim context, 10-layer
+    mid transformers, text_time added-cond) + VAE decode at 1024px.
     """
     import jax
     import jax.numpy as jnp
@@ -106,6 +112,10 @@ def bench_generation(tiny: bool, batch: int, steps: int,
         vae_config = vae_mod.VAEConfig(block_out_channels=(8, 16),
                                        layers_per_block=1, norm_num_groups=4)
         hw, text_dim, seq = 8, 32, 8
+    elif sdxl:
+        config = unet_mod.SDXL_UNET_CONFIG
+        vae_config = vae_mod.SD_VAE_CONFIG  # same decoder architecture
+        hw, text_dim, seq = 128, 2048, 77
     else:
         config = unet_mod.SD14_UNET_CONFIG
         vae_config = vae_mod.SD_VAE_CONFIG
@@ -133,26 +143,40 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     latents = jnp.asarray(rng.standard_normal((batch, hw, hw, 4)), dtype)
     context = jnp.asarray(
         rng.standard_normal((2 * batch, seq, text_dim)) * 0.1, dtype)
+    added_cond = None
+    if sdxl:
+        added_cond = {
+            "text_embeds": jnp.asarray(
+                rng.standard_normal((2 * batch, 1280)) * 0.1, dtype),
+            "time_ids": jnp.tile(jnp.asarray(
+                [hw * 8, hw * 8, 0, 0, hw * 8, hw * 8], jnp.float32),
+                (2 * batch, 1)),
+        }
 
     @jax.jit
     def generate(params, vae_params, plan, latents, context):
         if fast is not None:
             def model_factory(cond_only, cached, want_deep):
                 ctx = context[batch:] if cond_only else context
+                ac = None
+                if added_cond is not None:
+                    ac = ({k: v[batch:] for k, v in added_cond.items()}
+                          if cond_only else added_cond)
                 if cached:
                     return lambda li, t, d: unet_mod.apply(
-                        params, li, t, ctx, config, deep_feature=d,
-                        cache_level=fast.cache_level)
+                        params, li, t, ctx, config, added_cond=ac,
+                        deep_feature=d, cache_level=fast.cache_level)
                 return lambda li, t: unet_mod.apply(
-                    params, li, t, ctx, config, return_deep=want_deep,
-                    cache_level=fast.cache_level)
+                    params, li, t, ctx, config, added_cond=ac,
+                    return_deep=want_deep, cache_level=fast.cache_level)
 
             final = sampler.denoise_fast(
                 model_factory, plan, latents, guidance_scale=7.5,
                 fast=fast)
         else:
             def model_fn(lat_in, t):
-                return unet_mod.apply(params, lat_in, t, context, config)
+                return unet_mod.apply(params, lat_in, t, context, config,
+                                      added_cond=added_cond)
 
             final = sampler.denoise(
                 model_fn, plan, latents,
@@ -201,16 +225,28 @@ def bench_generation(tiny: bool, batch: int, steps: int,
     if not tiny and fast is None:
         # Analytic FLOP budget, cross-checked against XLA's CPU-backend
         # cost_analysis (tools/flop_count.py): SD1.4 UNet fwd = 788 GFLOP
-        # at 64x64 latents, VAE decode = 2504 GFLOP at 512x512.  The TPU
-        # backend's own cost_analysis undercounts convs ~20x, so it is
-        # not used here.  v5e bf16 peak: 197 TFLOP/s (measured attainable
-        # on this chip: ~157 on chained large matmuls — docs/PERF.md).
-        flops = batch * (2 * plan.num_calls * 0.788137 + 2.503597) * 1e12
+        # at 64x64 latents, VAE decode = 2504 GFLOP at 512x512; SDXL UNet
+        # fwd = 6761 GFLOP at 128x128 latents, VAE decode = 10470 GFLOP
+        # at 1024x1024.  The TPU backend's own cost_analysis undercounts
+        # convs ~20x, so it is not used here.  v5e bf16 peak: 197 TFLOP/s
+        # (measured attainable on this chip: ~157 on chained large
+        # matmuls — docs/PERF.md).
+        unet_tf, vae_tf = ((6.7612, 10.4704) if sdxl
+                           else (0.788137, 2.503597))
+        flops = batch * (2 * plan.num_calls * unet_tf + vae_tf) * 1e12
         tflops = flops / sec_per_run / 1e12
         print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
               f"analytic -> {tflops:.1f} TFLOP/s, MFU {tflops/197:.1%} "
               f"(197 TFLOP/s v5e bf16 peak)", file=sys.stderr)
-        if steps == 50 and batch == 8:
+        if sdxl and steps == 50:
+            # SDXL speed of light at the 157 TFLOP/s realized chained-
+            # matmul rate (tools/flop_count.py): 0.229 img/s
+            sol = 157e12 / ((2 * 50 * unet_tf + vae_tf) * 1e12)
+            print(f"= {batch / sec_per_run / sol:.0%} of the "
+                  f"~{sol:.3f} img/s analytic speed-of-light for SDXL "
+                  "1024px on this chip (157 TFLOP/s realized rate)",
+                  file=sys.stderr)
+        if steps == 50 and batch == 8 and not sdxl:
             # Practical exact-bf16 ceiling for the HEADLINE protocol
             # (batch 8, 50 steps — docs/PERF.md "Roofline honesty"):
             # d=40 attention at its padded-MXU floor + the rest at the
@@ -555,6 +591,8 @@ def _orchestrate(argv: list) -> int:
 
     tiny = "--tiny" in argv
     metric = "tiny_smoke_img_per_s" if tiny else "sd14_512_50step_img_per_s"
+    if "--sdxl" in argv:
+        metric = metric.replace("sd14_512", "sdxl_1024")
     if "--quantize" in argv:
         metric += "_w8a8"  # keep error records keyed like success records
     if "--fast" in argv:
@@ -613,6 +651,11 @@ def main() -> int:
                     help="smoke-test mode (tiny model, CPU-friendly)")
     ap.add_argument("--batch", type=int, default=8)  # measured sweet spot
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sdxl", action="store_true",
+                    help="bench the SDXL protocol instead (reference "
+                         "notebook flagship: 50 steps, CFG 7.5, 1024px — "
+                         "notebooks/inference_sd.ipynb); separate metric "
+                         "sdxl_1024_50step_img_per_s")
     ap.add_argument("--flux", action="store_true",
                     help="also time the FLUX-schnell 4-step DiT protocol "
                          "(secondary metric, stderr)")
@@ -757,9 +800,12 @@ def main() -> int:
 
         fast_cfg = FastConfig.from_spec(args.fast)
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
-                                 args.quantize, fast=fast_cfg)
+                                 args.quantize, fast=fast_cfg,
+                                 sdxl=args.sdxl)
     metric = "sd14_512_50step_img_per_s" if not args.tiny \
         else "tiny_smoke_img_per_s"
+    if args.sdxl:
+        metric = metric.replace("sd14_512", "sdxl_1024")
     if args.quantize:
         metric += "_w8a8"
     if fast_cfg is not None:
@@ -770,6 +816,13 @@ def main() -> int:
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 2.0, 4),
     }
+    if args.sdxl:
+        # no published SDXL throughput target exists (BASELINE.md is
+        # SD1.4-only); anchor against the analytic speed of light
+        result["vs_baseline"] = None
+        result["speed_of_light_img_per_s"] = 0.229
+        result["pct_of_sol"] = round(img_per_s / 0.229, 4)
+        result["batch"] = args.batch
     if fast_cfg is not None:
         result["fast_spec"] = args.fast
     elif not (args.tiny or args.quantize or args.no_fast):
@@ -786,7 +839,7 @@ def main() -> int:
 
             fast_img_s = bench_generation(
                 args.tiny, args.batch, args.steps, args.quantize,
-                fast=FastConfig.from_spec(spec))
+                fast=FastConfig.from_spec(spec), sdxl=args.sdxl)
             result["fast"] = {
                 "spec": spec,
                 "value": round(fast_img_s, 4),

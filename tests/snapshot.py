@@ -401,3 +401,67 @@ def make_flux_snapshot(root, seed=0):
         json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
                    "shift": 1.0}, f)
     return root
+
+
+def make_clip_snapshot(root, seed=0):
+    """Tiny full CLIP (vision+text) HF-format snapshot for
+    ``uce_tpu.models.clip.CLIPModel.from_pretrained`` — the classifier
+    model the debias loop and the eval CLIs load
+    (openai/clip-vit-base-patch32 in the reference,
+    ``uce_sd_debias.py:245-250``). Tokenizer files live at the root,
+    where AutoTokenizer looks for a composite CLIP checkpoint."""
+    root = str(root)
+    rng = np.random.default_rng(seed)
+    vocab = _write_tokenizer(root, "")
+    D, L, I, P = 16, 2, 32, 12
+    text_cfg = {
+        "vocab_size": len(vocab), "hidden_size": D,
+        "num_hidden_layers": L, "num_attention_heads": 2,
+        "intermediate_size": I, "max_position_embeddings": 16,
+        "hidden_act": "quick_gelu", "layer_norm_eps": 1e-5,
+        "bos_token_id": vocab["<|startoftext|>"],
+        "eos_token_id": vocab["<|endoftext|>"],
+    }
+    vision_cfg = {
+        "hidden_size": D, "num_hidden_layers": L,
+        "num_attention_heads": 2, "intermediate_size": I,
+        "image_size": 32, "patch_size": 16,
+        "hidden_act": "quick_gelu", "layer_norm_eps": 1e-5,
+    }
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"architectures": ["CLIPModel"], "model_type": "clip",
+                   "projection_dim": P, "logit_scale_init_value": 2.6592,
+                   "text_config": text_cfg, "vision_config": vision_cfg}, f)
+
+    n = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    sd = {
+        "logit_scale": np.full((), 2.6592, np.float32),
+        "text_projection.weight": n(P, D),
+        "visual_projection.weight": n(P, D),
+        "text_model.embeddings.token_embedding.weight": n(len(vocab), D),
+        "text_model.embeddings.position_embedding.weight": n(16, D),
+        "text_model.final_layer_norm.weight": np.ones(D, np.float32),
+        "text_model.final_layer_norm.bias": np.zeros(D, np.float32),
+        "vision_model.embeddings.patch_embedding.weight": n(D, 3, 16, 16),
+        "vision_model.embeddings.class_embedding": n(D),
+        "vision_model.embeddings.position_embedding.weight": n(2 * 2 + 1, D),
+        "vision_model.pre_layrnorm.weight": np.ones(D, np.float32),
+        "vision_model.pre_layrnorm.bias": np.zeros(D, np.float32),
+        "vision_model.post_layernorm.weight": np.ones(D, np.float32),
+        "vision_model.post_layernorm.bias": np.zeros(D, np.float32),
+    }
+    for tower in ("text_model", "vision_model"):
+        for i in range(L):
+            pre = f"{tower}.encoder.layers.{i}."
+            for ln in ("layer_norm1", "layer_norm2"):
+                sd[pre + ln + ".weight"] = np.ones(D, np.float32)
+                sd[pre + ln + ".bias"] = np.zeros(D, np.float32)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[pre + f"self_attn.{proj}.weight"] = n(D, D)
+                sd[pre + f"self_attn.{proj}.bias"] = np.zeros(D, np.float32)
+            sd[pre + "mlp.fc1.weight"] = n(I, D)
+            sd[pre + "mlp.fc1.bias"] = np.zeros(I, np.float32)
+            sd[pre + "mlp.fc2.weight"] = n(D, I)
+            sd[pre + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    save_file(sd, os.path.join(root, "model.safetensors"))
+    return root

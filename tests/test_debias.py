@@ -126,6 +126,94 @@ def test_on_device_debias_smoke(tmp_path):
     assert abs(acc[0, 0] - (-0.5)) < 1e-9 and abs(acc[0, 1] - 0.5) < 1e-9
 
 
+def test_device_solver_bitwise_matches_host(tmp_path):
+    """DeviceDebiasApplier (device-resident re-solve + swap, ships only
+    c_guide per iteration) must be BIT-identical to the round-4 host path
+    (make_collapsed_solver + overlay_edits) — same jitted arithmetic on
+    the same avals, different residency."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.snapshot import make_sd_snapshot
+    from uce_tpu.edit.debias import (DeviceDebiasApplier,
+                                     resources_from_pipe)
+    from uce_tpu.models import unet as unet_mod
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+    pipe = SDPipeline.from_pretrained(str(snap), dtype=jnp.bfloat16)
+    res = resources_from_pipe(pipe)
+    edit, attrs, pres = ["doctor"], ["male", "female"], ["nurse"]
+    embeds = res.encode_concepts(edit + attrs + pres)
+    settings = DebiasSettings()
+    base_params = pipe.unet_params
+
+    applier = DeviceDebiasApplier(res.targets, embeds, edit, attrs, pres,
+                                  settings, base_params)
+    host_solve = make_collapsed_solver(res.targets, embeds, edit, attrs,
+                                       pres, settings)
+
+    for acc in (np.zeros((1, 2)), np.array([[0.7, -0.3]]),
+                np.array([[-1.4, 2.1]])):
+        host_w = host_solve(acc)
+        dev_w = applier.export(acc)
+        assert set(host_w) == set(dev_w)
+        for k in host_w:
+            hv, dv = np.asarray(host_w[k]), np.asarray(dev_w[k])
+            assert hv.dtype == dv.dtype and np.array_equal(hv, dv), k
+
+        host_params = unet_mod.overlay_edits(base_params, host_w,
+                                             dtype=pipe.dtype)
+        dev_params = applier.overlay(base_params, acc)
+        hleaves, hdef = jax.tree_util.tree_flatten(host_params)
+        dleaves, ddef = jax.tree_util.tree_flatten(dev_params)
+        assert hdef == ddef
+        for hl, dl in zip(hleaves, dleaves):
+            hl, dl = np.asarray(hl), np.asarray(dl)
+            assert hl.dtype == dl.dtype and np.array_equal(hl, dl)
+
+
+def test_run_debias_device_resident_matches_host_path(tmp_path):
+    """Full run_debias: device_resident=True and False produce identical
+    saved weights, acc, and history on the same stubbed plant."""
+    import jax.numpy as jnp
+
+    from tests.snapshot import make_sd_snapshot
+    from uce_tpu.edit.debias import run_debias
+
+    snap = make_sd_snapshot(tmp_path / "snap")
+
+    class StubClip:
+        def __init__(self):
+            self.calls = 0
+
+        def classify(self, images, labels):
+            self.calls += 1
+            n = images.shape[0]
+            if self.calls == 1:
+                return np.zeros(n, np.int64)
+            return np.arange(n) % 2
+
+    runs = {}
+    for dr in (True, False):
+        pipe = SDPipeline.from_pretrained(str(snap), dtype=jnp.float32)
+        runs[dr] = run_debias(
+            pipe, StubClip(), ["doctor"], ["male", "female"],
+            settings=DebiasSettings(num_images_per_prompt=4,
+                                    num_inference_steps=2, max_iterations=3),
+            save_dir=str(tmp_path), exp_name=f"deb_{dr}", image_size=32,
+            verbose=False, device_resident=dr,
+        )
+    w_dev, acc_dev, hist_dev = runs[True]
+    w_host, acc_host, hist_host = runs[False]
+    np.testing.assert_array_equal(acc_dev, acc_host)
+    assert len(hist_dev) == len(hist_host)
+    for hd, hh in zip(hist_dev, hist_host):
+        np.testing.assert_array_equal(hd["observed"], hh["observed"])
+    assert set(w_dev) == set(w_host)
+    for k in w_dev:
+        assert np.array_equal(np.asarray(w_dev[k]), np.asarray(w_host[k])), k
+
+
 @pytest.fixture(scope="module")
 def real_clip_rig(tmp_path_factory):
     """Real SD pipeline + real JAX CLIP (random weights) — NO stubs

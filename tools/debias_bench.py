@@ -165,6 +165,9 @@ def main() -> int:
                     help="denoise steps (reference debias default 20)")
     ap.add_argument("--concepts", type=int, default=1,
                     help="number of edit concepts measured per iteration")
+    ap.add_argument("--host_path", action="store_true",
+                    help="time the round-4 host solve + overlay re-upload "
+                         "path instead of the device-resident default")
     args = ap.parse_args()
 
     if args.tiny:
@@ -196,22 +199,38 @@ def main() -> int:
     resources = debias_mod.resources_from_pipe(pipe)
     concepts = list(edit_concepts) + list(debias_concepts)
     concept_embeds = resources.encode_concepts(concepts)
-    solve_fn = debias_mod.make_collapsed_solver(
-        resources.targets, concept_embeds, edit_concepts, debias_concepts,
-        [], settings)
     labels = [debias_mod.DEFAULT_HYPOTHESIS_TEMPLATE.format(c)
               for c in debias_concepts]
     base_params = pipe.unet_params
+
+    if args.host_path:
+        solve_fn = debias_mod.make_collapsed_solver(
+            resources.targets, concept_embeds, edit_concepts,
+            debias_concepts, [], settings)
+
+        def solve_and_swap(acc):
+            # r4 path: host solve then ~46 MB overlay re-upload per iter
+            weights = solve_fn(acc)
+            pipe.unet_params = unet_mod.overlay_edits(
+                base_params, weights, dtype=pipe.dtype)
+    else:
+        import jax
+
+        applier = debias_mod.DeviceDebiasApplier(
+            resources.targets, concept_embeds, edit_concepts,
+            debias_concepts, [], settings, base_params)
+
+        def solve_and_swap(acc):
+            # device-resident path: only c_guide [K, d] crosses the link
+            pipe.unet_params = applier.overlay(base_params, acc)
+            # timing honesty: the swap is async — block on the edited tree
+            jax.block_until_ready(pipe.unet_params)
 
     acc = np.zeros((len(edit_concepts), len(debias_concepts)))
     phases_per_iter = []
     for it in range(3):  # iter 0 = compile, 1..2 = steady state
         t0 = time.perf_counter()
-        weights = solve_fn(acc)
-        # overlay is part of the solve phase (device weight swap,
-        # reference: pipe.unet.load_state_dict at uce_sd_debias.py:19)
-        pipe.unet_params = unet_mod.overlay_edits(
-            base_params, weights, dtype=pipe.dtype)
+        solve_and_swap(acc)
         t1 = time.perf_counter()
         images = pipe(
             list(edit_concepts),
@@ -246,7 +265,8 @@ def main() -> int:
         "parts": {k: round(best[k], 3)
                   for k in ("generate_s", "classify_s", "solve_s")},
         "config": {"concepts": len(edit_concepts), "images": args.images,
-                   "steps": args.steps, "size": size},
+                   "steps": args.steps, "size": size,
+                   "solver_path": "host" if args.host_path else "device"},
         "compile_s": round(phases_per_iter[0]["total_s"], 1),
     }
     print(json.dumps(result))

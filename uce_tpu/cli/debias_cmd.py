@@ -46,6 +46,12 @@ def register_cli(sub) -> None:
                         "generations, e.g. 'cfg_interval=3:25,cache=2' "
                         "(the controller reads CLIP ratios, not pixels; "
                         "still opt-in — see docs/PERF.md 'Fast mode')")
+    p.add_argument("--device_resident", choices=["true", "false"],
+                   default="true",
+                   help="keep the per-iteration re-solve + weight swap on "
+                        "device (bit-identical to the host path, ~4 s/iter "
+                        "cheaper on chip); 'false' restores the host "
+                        "solve + re-upload path")
     p.set_defaults(func=_cmd)
 
 
@@ -98,5 +104,6 @@ def _cmd(args) -> int:
                preserve_concepts, settings=settings, save_dir=args.save_dir,
                exp_name=args.exp_name, image_size=args.image_size,
                snapshot_every=args.snapshot_every,
-               telemetry_path=args.telemetry_path, fast=fast_cfg)
+               telemetry_path=args.telemetry_path, fast=fast_cfg,
+               device_resident=args.device_resident == "true")
     return 0

@@ -124,6 +124,112 @@ def make_collapsed_solver(
     return solve_fn
 
 
+class DeviceDebiasApplier:
+    """Device-resident re-solve + weight swap for the debias loop.
+
+    The round-4 host path shipped ~46 MB of edited fp32 weights through
+    the host link every iteration (solve via host numpy, then an
+    ``overlay_edits`` re-upload): 4.16 s of the 9.67 s/iter on chip
+    (docs/bench/DEBIAS_r04.json). Here the stacked edit-target weights
+    are uploaded ONCE at construction; each iteration ships only the
+    effective guide stack ``c_guide`` [K, d] (~3 KB) and runs
+    ``E = uce_edit_matrix(...)``, ``W_new = W @ E`` and the per-target
+    transpose/dtype-cast ON DEVICE, swapping device buffers into the
+    UNet pytree with zero weight round-trips. The arithmetic dispatches
+    the SAME jitted executables as the host path (`uce_edit_matrix` /
+    `apply_edit_matrix` on identical values and avals), so results are
+    bit-identical to `make_collapsed_solver` — pinned by
+    tests/test_debias.py::test_device_solver_bitwise_matches_host.
+
+    Reference anchor: ``uce_sd_debias.py:19`` (the load_state_dict
+    weight swap) and ``:114-140`` (the per-iteration re-solve).
+    """
+
+    def __init__(self, targets, concept_embeds, edit_concepts,
+                 debias_concepts, preserve_concepts, settings, params):
+        import jax
+        import jax.numpy as jnp
+
+        self.settings = settings
+        self.c_edit = emb.stack_embeds(concept_embeds, edit_concepts)
+        self.c_attr = emb.stack_embeds(concept_embeds, debias_concepts)
+        c_pres = emb.stack_embeds(concept_embeds, preserve_concepts)
+        if c_pres.shape[0] == 0:
+            c_pres = np.zeros((0, self.c_edit.shape[1]), np.float32)
+        self.names = list(targets)
+        rows = [targets[n].shape[0] for n in self.names]
+        self.rows = rows
+        # the ONE big upload: stacked torch-layout fp32 targets
+        self.w_cat = jnp.asarray(np.concatenate(
+            [np.asarray(targets[n], np.float32) for n in self.names]))
+        self.c_pres = jnp.asarray(c_pres)
+        self._paths = [n.split(".") for n in self.names]
+        dtypes = []
+        for parts in self._paths:
+            node = params
+            for p in parts[:-1]:
+                node = node[p]
+            dtypes.append(jnp.asarray(node[parts[-1]]).dtype)
+        offs = np.cumsum([0] + rows)
+        slices = tuple(
+            (int(offs[i]), int(offs[i + 1])) for i in range(len(rows)))
+
+        @jax.jit
+        def _leaves(new_cat):
+            # per-target JAX layout ([in, out]) + model dtype, on device —
+            # the device-side mirror of overlay_edits' transpose+cast
+            return tuple(new_cat[a:b].T.astype(dt)
+                         for (a, b), dt in zip(slices, dtypes))
+
+        self._leaves_fn = _leaves
+        self._cat = None  # device-resident result of the last solve
+
+    def solve(self, acc: np.ndarray):
+        """Edited target stack for ``acc`` (device array, torch-layout
+        fp32). Only ``c_guide`` [K, d] crosses the host link."""
+        c_guide = self.c_edit + np.asarray(acc).astype(np.float32) @ self.c_attr
+        e_mat = uce_edit_matrix(
+            self.c_edit, c_guide, self.c_pres,
+            self.settings.edit_scale, self.settings.preserve_scale,
+            self.settings.lamb,
+        )
+        self._cat = apply_edit_matrix(self.w_cat, e_mat)
+        return self._cat
+
+    def overlay(self, params: dict, acc: np.ndarray) -> dict:
+        """Re-solve for ``acc`` and swap the edited leaves into a shallow
+        copy of ``params`` — the whole path stays on device. Each new
+        leaf inherits the old leaf's sharding, so the swap composes with
+        ``apply_mesh`` (TP-sharded UNets keep their layout; on one chip
+        device_put onto the same device is a no-op)."""
+        import jax
+
+        leaves = self._leaves_fn(self.solve(acc))
+        edited = jax.tree_util.tree_map(lambda x: x, params)
+        for parts, leaf in zip(self._paths, leaves):
+            node = edited
+            for p in parts[:-1]:
+                node = node[p]
+            old_sharding = getattr(node[parts[-1]], "sharding", None)
+            if old_sharding is not None:
+                leaf = jax.device_put(leaf, old_sharding)
+            node[parts[-1]] = leaf
+        return edited
+
+    def export(self, acc: np.ndarray | None = None) -> dict[str, np.ndarray]:
+        """Safetensors-ready host dict (torch-layout fp32) — ONE download,
+        at snapshot/final-save time only. Defaults to the last solve."""
+        cat = self.solve(acc) if acc is not None else self._cat
+        if cat is None:
+            raise RuntimeError("export() before any solve()/overlay()")
+        cat = np.asarray(cat)
+        out, off = {}, 0
+        for n, r in zip(self.names, self.rows):
+            out[n] = cat[off:off + r]
+            off += r
+        return out
+
+
 def resources_from_pipe(pipe):
     """SDEditResources derived from a live SDPipeline: edit targets from
     its UNet params (torch-layout weights), encoders from the pipeline."""
@@ -182,6 +288,7 @@ def run_debias(
     verbose: bool = True,
     telemetry_path: str | None = None,
     fast=None,
+    device_resident: bool = True,
 ):
     """On-device closed loop for SD pipelines.
 
@@ -196,6 +303,10 @@ def run_debias(
     CLIP class ratios off the images, so the fast path's pixel-level
     perturbation is a second-order effect on the feedback signal — but
     it IS beyond the reference protocol, so it stays opt-in.
+    device_resident: keep the re-solve + weight swap on device
+    (``DeviceDebiasApplier``) — bit-identical to the host path and
+    ~4 s/iter cheaper on chip; False reproduces the round-4 host path
+    (kept for the equality test and as a debugging fallback).
     """
     from uce_tpu.models import unet as unet_mod
 
@@ -215,10 +326,38 @@ def run_debias(
     concepts = (list(edit_concepts) + list(debias_concepts)
                 + list(preserve_concepts))
     concept_embeds = resources.encode_concepts(concepts)
-    solve_fn = make_collapsed_solver(
-        resources.targets, concept_embeds, edit_concepts, debias_concepts,
-        preserve_concepts, settings,
-    )
+    base_params = pipe.unet_params
+    host_weights_cache = [None]
+    if device_resident:
+        applier = DeviceDebiasApplier(
+            resources.targets, concept_embeds, edit_concepts,
+            debias_concepts, preserve_concepts, settings, base_params)
+
+        def solve_and_swap(acc):
+            # re-solve + weight swap entirely on device; the returned
+            # handle is only a token for the controller — host weights
+            # materialize once, at snapshot/final-save time
+            pipe.unet_params = applier.overlay(base_params, acc)
+            return acc
+
+        def snapshot_weights():
+            return applier.export()
+    else:
+        applier = None
+        host_solve = make_collapsed_solver(
+            resources.targets, concept_embeds, edit_concepts, debias_concepts,
+            preserve_concepts, settings,
+        )
+
+        def solve_and_swap(acc):
+            w = host_solve(acc)
+            host_weights_cache[0] = w
+            pipe.unet_params = unet_mod.overlay_edits(base_params, w,
+                                                      dtype=pipe.dtype)
+            return w
+
+        def snapshot_weights():
+            return host_weights_cache[0]
 
     labels = [hypothesis_template.format(c) for c in debias_concepts]
 
@@ -226,9 +365,9 @@ def run_debias(
         """One batched denoise for ALL concepts x samples, one batched
         zero-shot classify — the whole measurement is two device programs
         (the reference loops concepts with 10-image pipeline calls each,
-        uce_sd_debias.py:21-28)."""
-        pipe.unet_params = unet_mod.overlay_edits(pipe.unet_params, weights,
-                                                  dtype=pipe.dtype)
+        uce_sd_debias.py:21-28). The weight swap already happened in
+        solve_and_swap; ``weights`` is the controller's token, unused."""
+        del weights
         n_img = settings.num_images_per_prompt
         images = pipe(
             list(edit_concepts),
@@ -261,23 +400,19 @@ def run_debias(
         if telemetry is not None:
             telemetry.record(iteration, observed, ratios)
         if snapshot_every and save_dir and (iteration + 1) % snapshot_every == 0:
-            save_safetensors(solve_fn_weights_cache[0], os.path.join(
+            save_safetensors(snapshot_weights(), os.path.join(
                 save_dir, f"{exp_name}_iter{iteration}.safetensors"))
 
-    solve_fn_weights_cache = [None]
-
-    def solve_and_cache(acc):
-        w = solve_fn(acc)
-        solve_fn_weights_cache[0] = w
-        return w
-
     weights, acc, history = debias_loop(
-        solve_and_cache, measure_fn,
+        solve_and_swap, measure_fn,
         len(edit_concepts), len(debias_concepts),
         np.asarray(settings.desired_ratios, np.float64),
         settings.max_iterations, settings.max_diff,
         on_iteration=on_iteration,
     )
+    if device_resident:
+        # the ONE download of the run: the final edited target stack
+        weights = applier.export()
     if history and np.abs(history[-1]["ratios"]).max() == 0 and verbose:
         print("All concepts are debiased")
 
