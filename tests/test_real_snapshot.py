@@ -35,7 +35,7 @@ def _snapshot_ok(path: str) -> bool:
 
 def run_smoke(snapshot: str, out_dir: str, image_size: int = 512,
               steps: int = 20, clip_snapshot: str = "",
-              min_image_mad: float = 1.0) -> dict:
+              min_image_mad: float = 1.0, strict_clip: bool = True) -> dict:
     """Edit 'Van Gogh' out of the model, A/B one fixed-seed image, and (if a
     CLIP snapshot is available) check the zero-shot style score moved the
     right way. Returns the collected evidence dict."""
@@ -105,7 +105,7 @@ def run_smoke(snapshot: str, out_dir: str, image_size: int = 512,
         # requiring edited == 1 (not edited >= base) keeps an ineffective
         # edit (base 0, edited 0) from sailing through the gate
         evidence["clip_pred"] = probs
-        assert probs["edited"] == 1, (
+        assert not strict_clip or probs["edited"] == 1, (
             "CLIP still classifies the edited image as Van Gogh "
             f"(base={probs['base']}, edited={probs['edited']})"
         )
@@ -147,7 +147,16 @@ if __name__ == "__main__":  # full-size smoke on the default backend (TPU)
     if not _snapshot_ok(SNAPSHOT):
         raise SystemExit("set UCE_SD_SNAPSHOT to a real SD snapshot dir "
                          "(docs/REAL_WEIGHTS.md)")
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(None)  # honors UCE_DEVICE (real_smoke.sh CI run)
     with tempfile.TemporaryDirectory() as td:
-        out = run_smoke(SNAPSHOT, td, clip_snapshot=CLIP_SNAPSHOT)
+        # tools/real_smoke.sh shrinks these for its CI plumbing run
+        out = run_smoke(
+            SNAPSHOT, td, clip_snapshot=CLIP_SNAPSHOT,
+            image_size=int(os.environ.get("UCE_SMOKE_SIZE", "512")),
+            steps=int(os.environ.get("UCE_SMOKE_STEPS", "20")),
+            min_image_mad=float(os.environ.get("UCE_SMOKE_MIN_MAD", "1.0")),
+            strict_clip=os.environ.get("UCE_SMOKE_STRICT", "1") == "1")
         print(json.dumps({k: v for k, v in out.items() if k != "edits_path"}))
         print("real-snapshot smoke: OK")

@@ -144,6 +144,23 @@ def test_split_skip_matches_concat(unet_params, monkeypatch):
     assert np.abs(out - ref).mean() < 2e-3
 
 
+def test_attn_out_einsum_matches_merge(unet_params, monkeypatch):
+    """UCE_ATTN_OUT=einsum (head-merge absorbed into the out-projection
+    as a per-head contraction — the r5 copies-bucket A/B candidate) must
+    match the merge-then-project path to roundoff."""
+    rng = np.random.default_rng(4)
+    params = unet_mod.cast_params(unet_params, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)
+    t = jnp.asarray([10.0, 20.0])
+
+    monkeypatch.delenv("UCE_ATTN_OUT", raising=False)
+    ref = np.asarray(unet_mod.apply(params, x, t, ctx, TINY_UNET))
+    monkeypatch.setenv("UCE_ATTN_OUT", "einsum")
+    out = np.asarray(unet_mod.apply(params, x, t, ctx, TINY_UNET))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_group_norm_reduce_stats_variant_matches(monkeypatch):
     """UCE_GN_STATS=reduce (consumer-fusible 'bhwc->bc' sums) must compute
     the same statistics as the indicator-matmul path."""

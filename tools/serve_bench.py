@@ -129,6 +129,11 @@ def main() -> int:
     ap.add_argument("--pin_rung", action="store_true",
                     help="pad every batch into the top rung "
                          "(bit-reproducible ladder)")
+    ap.add_argument("--mesh", type=str, default=None, metavar="SPEC",
+                    help="serve over a device mesh 'data=N[,model=M]' "
+                         "(uce serve --mesh path); on the 1-chip bench "
+                         "box this is only meaningful with --tiny on "
+                         "the virtual CPU mesh")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny-config CPU smoke of the harness (forces "
                          "the cpu backend; not a measurement)")
@@ -147,6 +152,10 @@ def main() -> int:
     pipe = build_sd14_pipeline(tiny=args.tiny)
     if args.tiny:
         args.size, args.steps = 64, min(args.steps, 5)
+    if args.mesh:
+        from uce_tpu.parallel.mesh import mesh_from_spec
+
+        pipe.apply_mesh(mesh_from_spec(args.mesh))
     cfg = ServerConfig(
         batch_size=args.batch, num_inference_steps=args.steps,
         guidance_scale=7.5, height=args.size, width=args.size,

@@ -53,7 +53,17 @@ def _add_common_edit_flags(p: argparse.ArgumentParser, default_model: str):
 
 
 def apply_device_flag(device: str | None) -> None:
-    """Pin the JAX platform before any backend initialization."""
+    """Pin the JAX platform before any backend initialization.
+
+    Falls back to the ``UCE_DEVICE`` env var when no ``--device`` flag is
+    given, so whole-script drives (tools/real_smoke.sh and its CI
+    plumbing test) can pin every CLI subprocess without threading the
+    flag through each invocation. The axon plugin ignores
+    ``JAX_PLATFORMS``, hence the config-API route."""
+    if device is None:
+        import os
+
+        device = os.environ.get("UCE_DEVICE") or None
     if device is None:
         return
     if device in ("cpu", "tpu"):

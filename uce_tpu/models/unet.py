@@ -235,8 +235,21 @@ def _attention(p, x, context, heads: int):
 
     out = dot_product_attention(
         q, k, v, impl="auto", qk_int8=is_quantized(p["to_q"]["weight"]))
+    w_o, b_o = p["to_out"]["0"]["weight"], p["to_out"]["0"]["bias"]
+    import os
+
+    if (os.environ.get("UCE_ATTN_OUT") == "einsum"
+            and not isinstance(w_o, dict)):
+        # A/B candidate for the structural head-merge relayout
+        # (docs/PERF.md "copies bucket"): absorb the [B,H,S,D]->[B,S,C]
+        # merge into the out-projection as a per-head contraction —
+        # concat_h(O_h) @ W_o == sum_h O_h @ W_o[h*dh:(h+1)*dh] — so
+        # layout assignment MAY feed the kernel's output layout straight
+        # into the GEMM instead of materializing the {1,3,2,0} copy.
+        return jnp.einsum("bhsd,hdc->bsc", out,
+                          w_o.reshape(heads, dh, -1)) + b_o
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, heads * dh)
-    return linear(out, p["to_out"]["0"]["weight"], p["to_out"]["0"]["bias"])
+    return linear(out, w_o, b_o)
 
 
 def _geglu_ff(p, x):
