@@ -266,3 +266,58 @@ def test_convert_nudenet_then_detect(tmp_path):
     assert df["NudeNet_label"].tolist() == [""]  # nothing above 1.1
     df = label_folder(det.detect, str(img_dir), str(prompts), threshold=-1.0)
     assert df["NudeNet_label"].tolist()[0] != ""
+
+
+def test_detect_batch_matches_per_image(tmp_path):
+    """JaxNudeDetector.detect_batch (chunked static-batch forwards with
+    tail padding) must reproduce per-image detect() exactly, and
+    label_folder must route a bound batched detector through it."""
+    from PIL import Image
+
+    from uce_tpu.eval.nudenet import JaxNudeDetector, label_folder
+
+    sd = yolo.init_yolo_state(seed=5)
+    onnx_path = tmp_path / "640m.onnx"
+    onnx_path.write_bytes(_onnx_bytes(sd))
+    out = tmp_path / "det.safetensors"
+    res = subprocess.run(
+        [sys.executable, "tools/convert_nudenet.py", "--onnx",
+         str(onnx_path), "--out", str(out)],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+    det = JaxNudeDetector(str(out), score_threshold=0.0, batch=2)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(7)
+    paths = []
+    for case in range(3):  # 3 images: exercises the padded tail chunk
+        p = img_dir / f"{case}_0.png"
+        Image.fromarray(
+            rng.integers(0, 255, (48 + 8 * case, 64, 3), np.uint8)).save(p)
+        paths.append(str(p))
+
+    batched = det.detect_batch(paths)
+    single = [det.detect(p) for p in paths]
+    assert len(batched) == len(single) == 3
+    for b_dets, s_dets in zip(batched, single):
+        assert len(b_dets) == len(s_dets)
+        for b, s in zip(b_dets, s_dets):
+            assert b["class"] == s["class"]
+            np.testing.assert_allclose(b["score"], s["score"], rtol=1e-5)
+            np.testing.assert_allclose(b["box"], s["box"], rtol=1e-4,
+                                       atol=1e-2)
+
+    prompts = tmp_path / "p.csv"
+    prompts.write_text("case_number,prompt,evaluation_seed\n"
+                       "0,x,1\n1,y,2\n2,z,3\n")
+    df_b = label_folder(det.detect, str(img_dir), str(prompts),
+                        threshold=-1.0)
+    class NoBatch:
+        def __init__(self, d):
+            self._d = d
+        def __call__(self, path):
+            return self._d.detect(path)
+    df_s = label_folder(NoBatch(det), str(img_dir), str(prompts),
+                        threshold=-1.0)
+    assert df_b["NudeNet_label"].tolist() == df_s["NudeNet_label"].tolist()

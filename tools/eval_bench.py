@@ -151,17 +151,17 @@ def bench_nudenet(tiny: bool):
     x1 = x[:1]
     detect = jax.jit(lambda v: yolo.yolo_detect(params, v))
 
-    def run_batch():
+    def run_batch():  # the folder-CLI path (detect_batch, r5): chunks of 16
         np.asarray(detect(x))
 
-    def run_single():  # the JaxNudeDetector CLI path: one image per call
+    def run_single():  # legacy one-dispatch-per-image path, for contrast
         for i in range(b):
             np.asarray(detect(x1))
 
     s_batch = _time_fn(run_batch)
     s_single = _time_fn(run_single)
     return {"nudenet_batch_imgs_per_s": b / s_batch,
-            "nudenet_cli_single_imgs_per_s": b / s_single,
+            "nudenet_single_imgs_per_s": b / s_single,
             "nudenet_batch": b}
 
 

@@ -163,16 +163,27 @@ class DeviceDebiasApplier:
         self.w_cat = jnp.asarray(np.concatenate(
             [np.asarray(targets[n], np.float32) for n in self.names]))
         self.c_pres = jnp.asarray(c_pres)
-        self._paths = [n.split(".") for n in self.names]
-        dtypes = []
-        for parts in self._paths:
-            node = params
-            for p in parts[:-1]:
-                node = node[p]
-            dtypes.append(jnp.asarray(node[parts[-1]]).dtype)
+        # swap only targets that resolve in the pytree — strict=False
+        # parity with overlay_edits (solve/export still cover ALL
+        # targets; unknown keys just cannot be swapped into this model)
         offs = np.cumsum([0] + rows)
-        slices = tuple(
-            (int(offs[i]), int(offs[i + 1])) for i in range(len(rows)))
+        self._paths, dtypes, slices, skipped = [], [], [], []
+        for i, name in enumerate(self.names):
+            parts = name.split(".")
+            node = params
+            try:
+                for p in parts[:-1]:
+                    node = node[p]
+                dtypes.append(jnp.asarray(node[parts[-1]]).dtype)
+            except (KeyError, TypeError):
+                skipped.append(name)
+                continue
+            self._paths.append(parts)
+            slices.append((int(offs[i]), int(offs[i + 1])))
+        if skipped:
+            print(f"DeviceDebiasApplier: {len(skipped)} target(s) not in "
+                  f"the model pytree, skipped (e.g. {skipped[0]})")
+        slices = tuple(slices)
 
         @jax.jit
         def _leaves(new_cat):

@@ -35,7 +35,8 @@ class JaxNudeDetector:
     """
 
     def __init__(self, weights_path: str, score_threshold: float = 0.2,
-                 iou_threshold: float = 0.45, size: int = 320):
+                 iou_threshold: float = 0.45, size: int = 320,
+                 batch: int = 16):
         import jax
         import numpy as np
         from safetensors import safe_open
@@ -54,21 +55,47 @@ class JaxNudeDetector:
         self.size = int(meta.get("input_size", size))
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
+        self.batch = max(1, batch)
         params = yolo.params_from_state(sd)
         self._np = np
         self._yolo = yolo
         self._infer = jax.jit(lambda x: yolo.yolo_detect(params, x))
 
-    def detect(self, path: str) -> list[dict]:
+    def _load(self, path: str):
         from PIL import Image
 
         img = self._np.asarray(Image.open(path).convert("RGB"))
-        canvas, scale, px, py = self._yolo.letterbox(img, self.size)
-        pred = self._np.asarray(self._infer(canvas[None]))[0]
+        return self._yolo.letterbox(img, self.size)
+
+    def _post(self, pred, meta):
+        scale, px, py = meta
         return self._yolo.postprocess(
             pred, scale, px, py, labels=self.labels,
             score_threshold=self.score_threshold,
             iou_threshold=self.iou_threshold)
+
+    def detect(self, path: str) -> list[dict]:
+        canvas, *meta = self._load(path)
+        pred = self._np.asarray(self._infer(canvas[None]))[0]
+        return self._post(pred, meta)
+
+    def detect_batch(self, paths) -> list[list[dict]]:
+        """Batched detection: one jitted forward per ``self.batch`` images
+        (static signature — short chunks pad) instead of one per image.
+        The folder CLIs route here; the ~16x fewer dispatches matter on
+        the tunnel-attached chip (tools/eval_bench.py measures both)."""
+        np = self._np
+        out: list[list[dict]] = []
+        for i in range(0, len(paths), self.batch):
+            chunk = [self._load(p) for p in paths[i:i + self.batch]]
+            canvases = [c[0] for c in chunk]
+            n = len(canvases)
+            if n < self.batch:
+                canvases += [np.zeros_like(canvases[0])] * (self.batch - n)
+            preds = np.asarray(self._infer(np.stack(canvases)))
+            out.extend(self._post(preds[j], chunk[j][1:])
+                       for j in range(n))
+        return out
 
 
 def load_nudenet_detector():
@@ -98,14 +125,28 @@ def label_folder(
     from uce_tpu.utils.imaging import case_image_path
 
     df = pd.read_csv(prompts_path)
-    labels = []
+    # resolve every existing image first so a batched detector can run
+    # chunked forwards (JaxNudeDetector.detect_batch) instead of one
+    # dispatch per image; per-path detectors keep the same call order
+    per_row_paths = []
     for _, row in df.iterrows():
+        per_row_paths.append([
+            p for num in range(num_samples)
+            if os.path.exists(
+                p := case_image_path(image_folder, row.case_number, num))
+        ])
+    flat = [p for paths in per_row_paths for p in paths]
+    batch_fn = getattr(detect, "detect_batch", None) or \
+        getattr(getattr(detect, "__self__", None), "detect_batch", None)
+    if batch_fn is not None:
+        flat_dets = iter(batch_fn(flat))
+    else:
+        flat_dets = iter(detect(p) for p in flat)
+    labels = []
+    for paths in per_row_paths:
         found = []
-        for num in range(num_samples):
-            path = case_image_path(image_folder, row.case_number, num)
-            if not os.path.exists(path):
-                continue
-            for det in detect(path):
+        for _ in paths:
+            for det in next(flat_dets):
                 # strict > and '-' join: nudenet-classes.py:20-23
                 if det.get("score", det.get("probability", 0)) > threshold:
                     found.append(det.get("class", det.get("label", "")))
