@@ -82,6 +82,65 @@ def build_pipeline(tiny: bool, dtype_name: str = "bfloat16"):
     return pipe
 
 
+def build_sdxl_pipeline(tiny: bool = False, dtype_name: str = "bfloat16"):
+    """SDXL-scale SDPipeline with random weights, in memory.
+
+    The UNet and VAE run at real SDXL scale (the perturbation a fast
+    spec induces depends on the denoiser); the two text encoders are
+    REAL-WIDTH but 2-layer — exact-vs-fast probes share identical
+    conditioning, so encoder depth cancels, and a full CLIP-G would
+    cost ~3 GB of host init + tunnel upload for nothing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.helpers import ToyTokenizer
+    from uce_tpu.diffusion.pipeline import SDPipeline
+    from uce_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    if tiny:
+        ucfg = unet_mod.UNetConfig(
+            block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1, cross_attention_dim=40,
+            attention_head_dim=(2, 4),
+            transformer_layers_per_block=(1, 2),
+            use_linear_projection=True, norm_num_groups=4,
+            addition_embed_type="text_time", addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=16 + 8 * 6)
+        vcfg = vae_mod.VAEConfig(block_out_channels=(8, 16),
+                                 layers_per_block=1, norm_num_groups=4)
+        d1, d2 = 24, 16
+    else:
+        ucfg = unet_mod.SDXL_UNET_CONFIG
+        vcfg = vae_mod.SD_VAE_CONFIG
+        d1, d2 = 768, 1280
+    tcfg = clip_text.CLIPTextConfig(
+        vocab_size=99, hidden_size=d1, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=2 * d1,
+        max_position_embeddings=77, eos_token_id=98)
+    tcfg2 = clip_text.CLIPTextConfig(
+        vocab_size=99, hidden_size=d2, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=2 * d2,
+        max_position_embeddings=77, eos_token_id=98, projection_dim=d2)
+    rng = np.random.default_rng(0)
+    return SDPipeline(
+        unet_params=unet_mod.nest_state_dict(
+            unet_mod.init_state_dict(ucfg, rng), dtype),
+        unet_config=ucfg,
+        text_params=clip_text.init_params(rng, tcfg), text_config=tcfg,
+        tokenizer=ToyTokenizer(),
+        text_params_2=clip_text.init_params(rng, tcfg2),
+        text_config_2=tcfg2, tokenizer_2=ToyTokenizer(),
+        vae_params=unet_mod.nest_state_dict(
+            vae_mod.init_state_dict(vcfg, rng), dtype),
+        vae_config=vcfg,
+        scheduler_config={"_class_name": "PNDMScheduler"},
+        dtype=dtype,
+    )
+
+
 def _random_vision_sd(cfg, rng):
     """Flat HF-format ViT state dict for convert_hf_vision_state_dict."""
     import numpy as np

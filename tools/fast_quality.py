@@ -35,6 +35,9 @@ def main() -> int:
                     help="CPU smoke mode (tiny shapes, same code path)")
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sdxl", action="store_true",
+                    help="probe the SDXL pipeline (1024px, added-cond "
+                         "path) instead of SD1.4")
     args = ap.parse_args()
 
     if args.tiny:
@@ -49,12 +52,16 @@ def main() -> int:
 
     import numpy as np
 
-    from tools.debias_bench import build_pipeline
+    from tools.debias_bench import build_pipeline, build_sdxl_pipeline
     from uce_tpu.diffusion.sampler import FastConfig
 
-    size = 32 if args.tiny else 512
+    if args.sdxl:
+        size = 32 if args.tiny else 1024
+        pipe = build_sdxl_pipeline(args.tiny)
+    else:
+        size = 32 if args.tiny else 512
+        pipe = build_pipeline(args.tiny)
     steps = 4 if args.tiny else args.steps
-    pipe = build_pipeline(args.tiny)
     fast = FastConfig.from_spec(args.fast)
     prompts = ["a photo of a doctor", "van gogh painting of sunflowers",
                "a red sports car", "a snowy mountain village",
@@ -75,7 +82,9 @@ def main() -> int:
         "metric": "fast_quality_pixel_delta",
         "fast_spec": args.fast,
         "protocol": {"steps": steps, "cfg": 7.5, "size": size,
-                     "prompts": len(prompts), "weights": "random-sd14-shape"},
+                     "prompts": len(prompts),
+                     "weights": ("random-sdxl-shape" if args.sdxl
+                                 else "random-sd14-shape")},
         "mean_abs_delta_levels": round(float(d.mean()), 3),
         "max_abs_delta_levels": int(d.max()),
         "frac_pixels_gt2": round(float((d > 2).mean()), 4),

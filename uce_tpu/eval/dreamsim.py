@@ -129,10 +129,14 @@ def register_cli(sub) -> None:
                         "(tools/convert_dreamsim.py) — runs the JAX ViT "
                         "backbones instead of the torch 'dreamsim' pkg")
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
 
 def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(getattr(args, "device", None))
     if args.jax_weights:
         distance_fn = load_dreamsim_jax(args.jax_weights)
     else:

@@ -170,10 +170,14 @@ def register_cli(sub) -> None:
                    help="converted NudeNet detector safetensors "
                         "(tools/convert_nudenet.py) — runs the JAX YOLOv8 "
                         "backbone instead of the torch/onnx 'nudenet' pkg")
+    p.add_argument("--device", type=str, default=None)
     p.set_defaults(func=_cmd)
 
 
 def _cmd(args) -> int:
+    from uce_tpu.cli.main import apply_device_flag
+
+    apply_device_flag(args.device)
     if args.jax_weights:
         detect = JaxNudeDetector(args.jax_weights).detect
     else:
