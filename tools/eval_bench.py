@@ -193,6 +193,13 @@ def main() -> int:
                              "resnet"])
     args = ap.parse_args()
 
+    import faulthandler
+
+    faulthandler.enable()
+    # the axon tunnel has been observed to wedge a remote call forever;
+    # a periodic stack dump makes the blocked frame visible in the log
+    faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+
     if args.tiny:
         import jax
 

@@ -31,6 +31,31 @@ def _jit_encode_image(config):
     return jax.jit(lambda p, x: encode_image(p, x, config))
 
 
+@_functools.lru_cache(maxsize=1)
+def _jit_similarity():
+    # normalize + scaled cosine in ONE program: remote eager dispatches
+    # on the axon tunnel are slow at best and have been observed to
+    # wedge outright (r5 eval_bench postmortem) — no eager ops on the
+    # score path
+    @jax.jit
+    def f(img_e, txt_e, scale):
+        img_e = img_e / jnp.linalg.norm(img_e, axis=-1, keepdims=True)
+        txt_e = txt_e / jnp.linalg.norm(txt_e, axis=-1, keepdims=True)
+        return scale * img_e @ txt_e.T
+
+    return f
+
+
+@_functools.lru_cache(maxsize=4)
+def _jit_preprocess_encode(config):
+    # ONE program for resize+crop+normalize+encode: the eager op chain
+    # measured ~100x slower on the axon plugin (7.5 s vs 0.07 s per
+    # batch-64 512px flush — each eager op is a separate remote
+    # dispatch), and raw uint8 input keeps the H2D at 1/4 the bytes
+    return jax.jit(lambda p, im: encode_image(
+        p, preprocess_images(im, config.image_size), config))
+
+
 # OpenAI CLIP preprocessing constants
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
@@ -167,7 +192,10 @@ def preprocess_images(images: np.ndarray | jnp.ndarray,
     Matches CLIPProcessor: resize shortest side (bicubic), center crop,
     rescale 1/255, normalize. For square inputs this is one resize.
     """
-    x = jnp.asarray(images, jnp.float32) / 255.0
+    # upload in the INPUT dtype (uint8 folders: 4x less H2D traffic than
+    # a host-side fp32 cast — measured 7.5 s vs ~1.9 s per batch-64
+    # 512px flush over the ~30 MB/s tunnel), convert on device
+    x = jnp.asarray(images).astype(jnp.float32) / 255.0
     b, h, w, _ = x.shape
     if h != image_size or w != image_size:
         short = min(h, w)
@@ -239,16 +267,14 @@ class CLIPModel:
         return cache[key]
 
     def embed_images(self, images) -> jnp.ndarray:
-        pixels = preprocess_images(images, self.vision_config.image_size)
-        return _jit_encode_image(self.vision_config)(
-            self.vision_params, pixels)
+        return _jit_preprocess_encode(self.vision_config)(
+            self.vision_params, jnp.asarray(images))
 
     def logits_per_image(self, images, texts: Sequence[str]) -> np.ndarray:
         img = self.embed_images(images)
         txt = self.embed_texts(texts)
-        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
-        return np.asarray(self.logit_scale * img @ txt.T)
+        return np.asarray(_jit_similarity()(
+            img, txt, jnp.float32(self.logit_scale)))
 
     def classify(self, images, candidate_labels: Sequence[str]) -> np.ndarray:
         """Zero-shot label index per image (argmax over candidates)."""
