@@ -94,10 +94,12 @@ def bench_lpips(tiny: bool):
     b = 16 if tiny else 256
     x = rng.uniform(-1, 1, (b, 64, 64, 3)).astype(np.float32)
     y = rng.uniform(-1, 1, (b, 64, 64, 3)).astype(np.float32)
-    dist = jax.jit(lambda a, c: lpips_mod.lpips_distance(params, a, c))
+    # params as an ARG: closure params become HLO constants, inflating
+    # the remote compile payload (HTTP 413 at ViT scale — r5 find)
+    dist = jax.jit(lambda p, a, c: lpips_mod.lpips_distance(p, a, c))
 
     def run():
-        np.asarray(dist(x, y))
+        np.asarray(dist(params, x, y))
 
     s = _time_fn(run)
     return {"lpips_pairs_per_s": b / s, "lpips_batch": b}
@@ -149,14 +151,14 @@ def bench_nudenet(tiny: bool):
     b = 2 if tiny else 16
     x = np.random.default_rng(3).random((b, size, size, 3)).astype(np.float32)
     x1 = x[:1]
-    detect = jax.jit(lambda v: yolo.yolo_detect(params, v))
+    detect = jax.jit(yolo.yolo_detect)
 
     def run_batch():  # the folder-CLI path (detect_batch, r5): chunks of 16
-        np.asarray(detect(x))
+        np.asarray(detect(params, x))
 
     def run_single():  # legacy one-dispatch-per-image path, for contrast
         for i in range(b):
-            np.asarray(detect(x1))
+            np.asarray(detect(params, x1))
 
     s_batch = _time_fn(run_batch)
     s_single = _time_fn(run_single)
@@ -175,10 +177,10 @@ def bench_resnet(tiny: bool):
     params = vb.convert_resnet50(random_resnet50_sd(seed=4))
     b = 2 if tiny else 64
     x = np.random.default_rng(4).random((b, 224, 224, 3)).astype(np.float32)
-    logits = jax.jit(lambda v: vb.resnet50_logits(params, v))
+    logits = jax.jit(vb.resnet50_logits)
 
     def run():
-        np.asarray(logits(x))
+        np.asarray(logits(params, x))
 
     s = _time_fn(run)
     return {"resnet50_imgs_per_s": b / s, "resnet50_batch": b}
@@ -205,10 +207,11 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from uce_tpu.utils.compile_cache import enable as enable_cache
-
-    enable_cache(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache"))
+    # NO persistent compile cache here (unlike bench.py): on the axon
+    # tunnel a cache WRITE serializes the new executable back over the
+    # ~30 MB/s link — measured ~4.5 min for one small CLIP program
+    # (r5 postmortem; looked like a hang). These metric models compile
+    # in 5-12 s each; six cold compiles beat six serializations.
 
     import tempfile
 

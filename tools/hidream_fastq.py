@@ -44,9 +44,10 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from uce_tpu.utils.compile_cache import enable as enable_cache
-
-    enable_cache(os.path.join(REPO, ".jax_cache"))
+    # no persistent compile cache: each window is a fresh program run
+    # ONCE, and on the axon tunnel a cache write serializes the
+    # executable back over the ~30 MB/s link (minutes per program —
+    # docs/PERF.md "Compile latency")
 
     import jax
     import jax.numpy as jnp

@@ -80,20 +80,24 @@ def load_dreamsim_jax(weights_path: str):
                          np.float32)
         backbones.append((params, heads, mean, std))
 
-    # jit one embed per backbone (distinct head counts/param trees)
+    # jit one embed per backbone (distinct head counts/param trees).
+    # params are ARGUMENTS, not closure constants: baking an 86M-param
+    # ViT into the HLO makes the remote compile request ~350 MB, which
+    # the axon compile service rejects outright (HTTP 413 — r5 find)
     embed_fns = []
     for (params, heads, mean, std) in backbones:
-        def make(params=params, heads=heads, mean=mean, std=std):
+        def make(heads=heads, mean=mean, std=std):
             @jax.jit
-            def f(pixel01):
+            def f(p, pixel01):
                 x = (pixel01 - mean) / std
-                e = vit_cls_embed(params, x, heads)
+                e = vit_cls_embed(p, x, heads)
                 return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
             return f
-        embed_fns.append(make())
+        embed_fns.append((make(), params))
 
     def embed(img01):
-        return jnp.concatenate([f(img01) for f in embed_fns], axis=-1)
+        return jnp.concatenate([f(p, img01) for f, p in embed_fns],
+                               axis=-1)
 
     def distance_fn(a, b):
         """a, b: [-1, 1] NHWC numpy batches (the eval_folders contract)."""

@@ -113,7 +113,12 @@ def eval_folders(
     the full prompts CSV with per-case mean loss column(s) appended.
     """
     if distance_fn is None:
-        distance_fn = lambda a, b: lpips_distance(params, a, b)
+        # ONE jitted program, params as an ARG (eager op chains are
+        # ~100x slower per dispatch on the axon tunnel, and closure
+        # params would bake into the compile payload — docs/PERF.md
+        # "Compile latency", r5)
+        jit_dist = jax.jit(lpips_distance)
+        distance_fn = lambda a, b: jit_dist(params, a, b)
     columns = ((loss_column,) if isinstance(loss_column, str)
                else tuple(loss_column))
 

@@ -59,7 +59,10 @@ class JaxNudeDetector:
         params = yolo.params_from_state(sd)
         self._np = np
         self._yolo = yolo
-        self._infer = jax.jit(lambda x: yolo.yolo_detect(params, x))
+        # params as an ARG (not a closure constant baked into the
+        # compile payload — docs/PERF.md "Compile latency", r5)
+        jit_detect = jax.jit(yolo.yolo_detect)
+        self._infer = lambda x: jit_detect(params, x)
 
     def _load(self, path: str):
         from PIL import Image

@@ -92,11 +92,15 @@ def eval_folders(
     exact as a post-sum since mean(s+c) == mean(s)+mean(c)."""
     from uce_tpu.eval.lpips import eval_folders as shared_eval
 
+    # jitted with params as an ARG; the inner lambda passes ``ref`` once
+    # so the style/content tap reuse (`content_ref is style_ref`) still
+    # holds under tracing (r5: eager metric chains crawl on the tunnel)
+    jit_sc = jax.jit(
+        lambda p, img, ref: style_content_loss(p, img, ref, ref))
     df = shared_eval(
         None, original_path, edited_path, prompts_path=prompts_path,
         save_path=None, image_size=image_size,
-        distance_fn=lambda ref, img: style_content_loss(
-            params, img, ref, ref),
+        distance_fn=lambda ref, img: jit_sc(params, img, ref),
         loss_column=("style_loss", "content_loss"),
         prep_fn=_batch_prep(image_size), batch=8)
     df["total_loss"] = df["style_loss"] + df["content_loss"]
