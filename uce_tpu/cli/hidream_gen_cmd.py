@@ -38,9 +38,12 @@ def register_cli(sub) -> None:
                         "the batch over N data groups, lay the DiT "
                         "out tensor-parallel over M chips")
     p.add_argument("--fast", type=str, default=None, metavar="SPEC",
-                   help="CFG-interval window, e.g. 'cfg_interval=5:30' "
-                        "(cond-only DiT outside it — halves the dominant "
-                        "MoE cost there); cache=N is UNet-only and rejected")
+                   help="CFG-interval window (cond-only DiT outside it — "
+                        "halves the dominant MoE cost there); "
+                        "'cfg_interval=5:30' is the measured default pick "
+                        "(1.35x at the lowest latent perturbation of the "
+                        "r5 window sweep, docs/bench/HIDREAM_FASTQ_r05."
+                        "json); cache=N is UNet-only and rejected")
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1_000_000)
     p.set_defaults(func=_cmd)
