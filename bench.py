@@ -78,7 +78,7 @@ def bench_edit(d: int = 768, n_layers: int = 32, n_concepts: int = 100,
 
 def bench_generation(tiny: bool, batch: int, steps: int,
                      quantize: bool = False, fast=None,
-                     sdxl: bool = False) -> float:
+                     sdxl: bool = False, sd2: bool = False) -> float:
     """Returns images/second for 512x512 SD v1.4-architecture generation.
 
     ``fast``: optional ``sampler.FastConfig`` — measures the opt-in
@@ -116,6 +116,12 @@ def bench_generation(tiny: bool, batch: int, steps: int,
         config = unet_mod.SDXL_UNET_CONFIG
         vae_config = vae_mod.SD_VAE_CONFIG  # same decoder architecture
         hw, text_dim, seq = 128, 2048, 77
+    elif sd2:
+        # SD 2.1 native protocol: 768x768, v-prediction scheduler config
+        # is timing-equivalent to eps here (same ops per step)
+        config = unet_mod.SD21_UNET_CONFIG
+        vae_config = vae_mod.SD_VAE_CONFIG
+        hw, text_dim, seq = 96, 1024, 77
     else:
         config = unet_mod.SD14_UNET_CONFIG
         vae_config = vae_mod.SD_VAE_CONFIG
@@ -231,8 +237,14 @@ def bench_generation(tiny: bool, batch: int, steps: int,
         # convs ~20x, so it is not used here.  v5e bf16 peak: 197 TFLOP/s
         # (measured attainable on this chip: ~157 on chained large
         # matmuls — docs/PERF.md).
-        unet_tf, vae_tf = ((6.7612, 10.4704) if sdxl
-                           else (0.788137, 2.503597))
+        if sdxl:
+            unet_tf, vae_tf = 6.7612, 10.4704
+        elif sd2:
+            # SD2.1 at 96x96 latents / 768px (tools/flop_count.py:
+            # sd14_unet(hw=96, ctx_dim=1024)); SOL at 157 TFLOP/s: 0.711
+            unet_tf, vae_tf = 2.1491, 5.7543
+        else:
+            unet_tf, vae_tf = 0.788137, 2.503597
         flops = batch * (2 * plan.num_calls * unet_tf + vae_tf) * 1e12
         tflops = flops / sec_per_run / 1e12
         print(f"per-run {sec_per_run*1000:.0f} ms, {flops/1e12:.1f} TFLOP "
@@ -246,7 +258,13 @@ def bench_generation(tiny: bool, batch: int, steps: int,
                   f"~{sol:.3f} img/s analytic speed-of-light for SDXL "
                   "1024px on this chip (157 TFLOP/s realized rate)",
                   file=sys.stderr)
-        if steps == 50 and batch == 8 and not sdxl:
+        if sd2 and steps == 50:
+            sol = 157e12 / ((2 * 50 * unet_tf + vae_tf) * 1e12)
+            print(f"= {batch / sec_per_run / sol:.0%} of the "
+                  f"~{sol:.3f} img/s analytic speed-of-light for SD2.1 "
+                  "768px on this chip (157 TFLOP/s realized rate)",
+                  file=sys.stderr)
+        if steps == 50 and batch == 8 and not sdxl and not sd2:
             # Practical exact-bf16 ceiling for the HEADLINE protocol
             # (batch 8, 50 steps — docs/PERF.md "Roofline honesty"):
             # d=40 attention at its padded-MXU floor + the rest at the
@@ -593,6 +611,8 @@ def _orchestrate(argv: list) -> int:
     metric = "tiny_smoke_img_per_s" if tiny else "sd14_512_50step_img_per_s"
     if "--sdxl" in argv:
         metric = metric.replace("sd14_512", "sdxl_1024")
+    if "--sd2" in argv:
+        metric = metric.replace("sd14_512", "sd21_768")
     if "--quantize" in argv:
         metric += "_w8a8"  # keep error records keyed like success records
     if "--fast" in argv:
@@ -656,6 +676,10 @@ def main() -> int:
                          "notebook flagship: 50 steps, CFG 7.5, 1024px — "
                          "notebooks/inference_sd.ipynb); separate metric "
                          "sdxl_1024_50step_img_per_s")
+    ap.add_argument("--sd2", action="store_true",
+                    help="bench the SD 2.1 protocol instead (768px, "
+                         "cross-attn 1024, linear projections); separate "
+                         "metric sd21_768_50step_img_per_s")
     ap.add_argument("--flux", action="store_true",
                     help="also time the FLUX-schnell 4-step DiT protocol "
                          "(secondary metric, stderr)")
@@ -801,11 +825,13 @@ def main() -> int:
         fast_cfg = FastConfig.from_spec(args.fast)
     img_per_s = bench_generation(args.tiny, args.batch, args.steps,
                                  args.quantize, fast=fast_cfg,
-                                 sdxl=args.sdxl)
+                                 sdxl=args.sdxl, sd2=args.sd2)
     metric = "sd14_512_50step_img_per_s" if not args.tiny \
         else "tiny_smoke_img_per_s"
     if args.sdxl:
         metric = metric.replace("sd14_512", "sdxl_1024")
+    if args.sd2:
+        metric = metric.replace("sd14_512", "sd21_768")
     if args.quantize:
         metric += "_w8a8"
     if fast_cfg is not None:
@@ -816,12 +842,13 @@ def main() -> int:
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 2.0, 4),
     }
-    if args.sdxl:
-        # no published SDXL throughput target exists (BASELINE.md is
-        # SD1.4-only); anchor against the analytic speed of light
+    if args.sdxl or args.sd2:
+        # no published SDXL/SD2.1 throughput target exists (BASELINE.md
+        # is SD1.4-only); anchor against the analytic speed of light
+        sol = 0.229 if args.sdxl else 0.711
         result["vs_baseline"] = None
-        result["speed_of_light_img_per_s"] = 0.229
-        result["pct_of_sol"] = round(img_per_s / 0.229, 4)
+        result["speed_of_light_img_per_s"] = sol
+        result["pct_of_sol"] = round(img_per_s / sol, 4)
         result["batch"] = args.batch
     if fast_cfg is not None:
         result["fast_spec"] = args.fast
@@ -839,7 +866,8 @@ def main() -> int:
 
             fast_img_s = bench_generation(
                 args.tiny, args.batch, args.steps, args.quantize,
-                fast=FastConfig.from_spec(spec), sdxl=args.sdxl)
+                fast=FastConfig.from_spec(spec), sdxl=args.sdxl,
+                sd2=args.sd2)
             result["fast"] = {
                 "spec": spec,
                 "value": round(fast_img_s, 4),

@@ -53,7 +53,10 @@ def transformer(h, w, c, ctx_len=77, ctx_dim=768):
     return f
 
 
-def sd14_unet(hw=64):
+def sd14_unet(hw=64, ctx_dim=768):
+    """Also counts SD 2.1 with hw=96, ctx_dim=1024 — same topology
+    (channels, block layout); only the cross-attention K/V input width
+    and the latent resolution differ."""
     chans = (320, 640, 1280, 1280)
     f = 0
     f += conv(hw, hw, 4, 320)                      # conv_in
@@ -66,7 +69,7 @@ def sd14_unet(hw=64):
         for _ in range(2):
             f += resnet(res, res, cin, c)
             if i < 3:
-                f += transformer(res, res, c)
+                f += transformer(res, res, c, ctx_dim=ctx_dim)
             cin = c
             skips.append((res, c))
         if i < 3:
@@ -74,7 +77,7 @@ def sd14_unet(hw=64):
             res //= 2
             skips.append((res, c))
     # mid
-    f += resnet(res, res, 1280, 1280) + transformer(res, res, 1280)
+    f += resnet(res, res, 1280, 1280) + transformer(res, res, 1280, ctx_dim=ctx_dim)
     f += resnet(res, res, 1280, 1280)
     # up path: 4 blocks x 3 resnets, reversed channels
     up_chans = (1280, 1280, 640, 320)
@@ -84,7 +87,7 @@ def sd14_unet(hw=64):
             skip_res, skip_c = skips.pop()
             f += resnet(res, res, cin + skip_c, c)
             if i > 0:
-                f += transformer(res, res, c)
+                f += transformer(res, res, c, ctx_dim=ctx_dim)
             cin = c
         if i < 3:
             res *= 2
