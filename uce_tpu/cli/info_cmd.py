@@ -38,10 +38,13 @@ def _cmd(args) -> int:
         print("torch: absent (jax.random latent fallback, no torch parity)")
     print(f"native PNG writer: "
           f"{'available' if native_available() else 'unavailable (PIL path)'}")
-    for pkg in ("nudenet", "dreamsim"):
+    for pkg, converter in (("nudenet", "tools/convert_nudenet.py"),
+                           ("dreamsim", "tools/convert_dreamsim.py")):
         try:
             __import__(pkg)
             print(f"{pkg}: available")
         except ImportError:
-            print(f"{pkg}: absent (eval-{pkg} gated)")
+            # not gating: the JAX backbone runs without the torch pkg
+            print(f"{pkg}: torch pkg absent — eval-{pkg} runs via "
+                  f"--jax_weights (one-time convert: {converter})")
     return 0
